@@ -1,0 +1,89 @@
+"""NMS tests against a tiny numpy greedy-NMS oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from crb_active_3ddet_tpu.ops import nms as nms_ops
+from crb_active_3ddet_tpu.ops import iou3d
+
+
+def _numpy_nms_oracle(boxes, scores, thresh):
+    """Greedy rotated NMS using the (tested) IoU matrix."""
+    order = np.argsort(-scores, kind='stable')
+    iou = np.asarray(iou3d.boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= -1e9:
+            continue
+        keep.append(i)
+        suppressed |= iou[i] > thresh
+        suppressed[i] = True
+    return keep
+
+
+def _rand_boxes(rng, n):
+    return np.concatenate([
+        rng.uniform(-10, 10, (n, 2)), np.zeros((n, 1)),
+        rng.uniform(1, 4, (n, 3)), rng.uniform(-np.pi, np.pi, (n, 1)),
+    ], axis=1).astype(np.float32)
+
+
+def test_simple_suppression():
+    boxes = np.array([
+        [0, 0, 0, 2, 2, 2, 0],
+        [0.1, 0, 0, 2, 2, 2, 0],   # heavy overlap with 0 → suppressed
+        [10, 10, 0, 2, 2, 2, 0],    # disjoint → kept
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    idx, valid, s = nms_ops.rotated_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_max=3, post_max=3)
+    kept = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == [0, 2]
+
+
+def test_matches_oracle_random():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = 64
+        boxes = _rand_boxes(rng, n)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        idx, valid, _ = nms_ops.rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.2, pre_max=n, post_max=n)
+        ours = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+        oracle = sorted(_numpy_nms_oracle(boxes, scores, 0.2))
+        assert ours == oracle, f'trial {trial}: {ours} vs {oracle}'
+
+
+def test_post_max_truncation():
+    rng = np.random.RandomState(1)
+    boxes = _rand_boxes(rng, 32)
+    boxes[:, :2] = rng.uniform(-100, 100, (32, 2))  # all disjoint
+    scores = rng.uniform(0, 1, 32).astype(np.float32)
+    idx, valid, s = nms_ops.rotated_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_max=32, post_max=5)
+    assert int(np.asarray(valid).sum()) == 5
+    # results are score-sorted
+    svals = np.asarray(s)[np.asarray(valid)]
+    assert np.all(np.diff(svals) <= 1e-6)
+
+
+def test_padding_rows_ignored():
+    boxes = np.zeros((8, 7), np.float32)
+    boxes[0] = [0, 0, 0, 2, 2, 2, 0]
+    boxes[1] = [20, 0, 0, 2, 2, 2, 0]
+    scores = np.full(8, -1e10, np.float32)
+    scores[0], scores[1] = 0.5, 0.4
+    idx, valid, _ = nms_ops.rotated_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_max=8, post_max=8)
+    assert int(np.asarray(valid).sum()) == 2
+
+
+def test_score_thresh():
+    boxes = _rand_boxes(np.random.RandomState(2), 10)
+    boxes[:, :2] += np.arange(10)[:, None] * 50  # disjoint
+    scores = np.linspace(0.05, 0.95, 10).astype(np.float32)
+    idx, valid, _ = nms_ops.rotated_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_max=10, post_max=10,
+        score_thresh=0.5)
+    assert int(np.asarray(valid).sum()) == 5
