@@ -28,8 +28,11 @@ class CfgNode(dict):
 
     @staticmethod
     def _wrap(v):
-        if isinstance(v, dict) and not isinstance(v, CfgNode):
-            return CfgNode(v)
+        import collections.abc
+        if isinstance(v, CfgNode):
+            return v
+        if isinstance(v, collections.abc.Mapping):
+            return CfgNode(dict(v))
         if isinstance(v, (list, tuple)):
             return type(v)(CfgNode._wrap(x) for x in v)
         return v
@@ -139,6 +142,14 @@ def log_config_to_file(config: CfgNode, pre='cfg', logger=None):
             log_config_to_file(val, pre=f'{pre}.{key}', logger=logger)
         elif logger:
             logger.info('%s.%s: %s', pre, key, val)
+
+
+def to_cfg(obj) -> 'CfgNode':
+    """Coerce any Mapping (incl. flax FrozenDict — flax converts dict-typed
+    module fields) back into an attribute-accessible CfgNode."""
+    if isinstance(obj, CfgNode):
+        return obj
+    return CfgNode(dict(obj))
 
 
 # Module-level cfg for CLI tools (mirrors pcdet's global `cfg`).

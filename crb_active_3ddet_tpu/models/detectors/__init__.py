@@ -1,0 +1,1 @@
+from .detector3d import Detector3D, build_detector  # noqa: F401

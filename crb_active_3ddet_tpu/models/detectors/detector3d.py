@@ -1,0 +1,158 @@
+"""Generic config-driven detector (Flax).
+
+Parity: ``pcdet/models/detectors/detector3d_template.py`` (module topology
+``vfe → backbone_3d → map_to_bev → pfe → backbone_2d → dense_head →
+point_head → roi_head`` :24-53) and the thin detector forwards
+(``pointpillar.py:9-34``, ``second_net.py:9-34``, ``pv_rcnn.py:9-43``).
+
+TPU-first: one Flax module whose ``__call__`` threads the batch_dict through
+the configured submodules; the training loss is a pure function
+(``compute_loss``) so the train step can ``jax.value_and_grad`` it directly;
+post-processing/NMS lives in :mod:`..post_processing` and is called outside
+the gradient path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import flax.linen as nn
+
+from ..backbones_3d.vfe import build_vfe
+from ..backbones_2d import build_backbone_2d, build_map_to_bev
+from ..dense_heads import build_dense_head
+from ..dense_heads import anchor_head_single as ahs
+
+
+class Detector3D(nn.Module):
+    """Config-driven detector. Supports PointPillar / SECOND topology now;
+    PV-RCNN modules (pfe/point_head/roi_head) plug into the same chain."""
+    model_cfg: Any
+    num_class: int
+    class_names: tuple
+    grid_size: tuple          # (nx, ny, nz)
+    point_cloud_range: tuple
+    voxel_size: tuple
+    num_point_features: int
+
+    def setup(self):
+        from ...config import to_cfg
+        cfg = to_cfg(self.model_cfg)
+        modules = []
+        if cfg.get('VFE', None) is not None:
+            self.vfe = build_vfe(cfg.VFE, self.num_point_features,
+                                 self.voxel_size, self.point_cloud_range,
+                                 self.grid_size)
+            modules.append('vfe')
+            point_feats = self.vfe.get_output_feature_dim()
+        else:
+            point_feats = self.num_point_features
+
+        if cfg.get('BACKBONE_3D', None) is not None:
+            from ..backbones_3d.spconv_backbone import build_backbone_3d
+            self.backbone_3d = build_backbone_3d(
+                cfg.BACKBONE_3D, input_channels=point_feats,
+                grid_size=self.grid_size, voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range)
+            modules.append('backbone_3d')
+
+        if cfg.get('MAP_TO_BEV', None) is not None:
+            self.map_to_bev = build_map_to_bev(cfg.MAP_TO_BEV, self.grid_size)
+            modules.append('map_to_bev')
+            bev_feats = cfg.MAP_TO_BEV.NUM_BEV_FEATURES
+        else:
+            bev_feats = point_feats
+
+        if cfg.get('BACKBONE_2D', None) is not None:
+            self.backbone_2d = build_backbone_2d(cfg.BACKBONE_2D, bev_feats)
+            modules.append('backbone_2d')
+            bev_feats = self.backbone_2d.num_bev_features
+
+        if cfg.get('DENSE_HEAD', None) is not None:
+            self.dense_head = build_dense_head(
+                cfg.DENSE_HEAD, input_channels=bev_feats,
+                num_class=self.num_class, class_names=self.class_names,
+                grid_size=self.grid_size,
+                point_cloud_range=self.point_cloud_range,
+                predict_boxes_when_training=cfg.get('ROI_HEAD', None) is not None)
+            modules.append('dense_head')
+
+        if cfg.get('POINT_HEAD', None) is not None:
+            from ..point_heads import build_point_head
+            self.point_head = build_point_head(
+                cfg.POINT_HEAD, model_cfg=cfg, num_class=self.num_class,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range)
+            modules.append('point_head')
+
+        if cfg.get('ROI_HEAD', None) is not None:
+            from ..roi_heads import build_roi_head
+            self.roi_head = build_roi_head(
+                cfg.ROI_HEAD, num_class=self.num_class,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range)
+            modules.append('roi_head')
+
+        if cfg.get('PFE', None) is not None:
+            from ..backbones_3d.pfe import build_pfe
+            self.pfe = build_pfe(
+                cfg.PFE, voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                num_bev_features=bev_feats,
+                num_rawpoint_features=self.num_point_features)
+            # pfe runs between map_to_bev and backbone_2d in the reference
+            # topology (detector3d_template.py:24-27)
+            idx = modules.index('backbone_2d')
+            modules.insert(idx, 'pfe')
+
+        self.module_topology = tuple(modules)
+
+    def __call__(self, batch_dict, training: bool = False):
+        # never mutate the caller's dict — in-place tracer writes would leak
+        # across jit traces (the reference mutates batch_dict freely; we copy)
+        batch_dict = dict(batch_dict)
+        for name in self.module_topology:
+            batch_dict = getattr(self, name)(batch_dict, training=training)
+        return batch_dict
+
+    # ---- loss (pure function over the forward output) ----
+    def compute_loss(self, batch_dict, reduce: bool = True):
+        """Training loss. Parity: the detectors' ``get_training_loss``
+        (``pointpillar.py:26-34``, ``second_net.py:26-34``) — rpn loss from
+        the anchor head (+ point/rcnn losses for two-stage models)."""
+        core = ahs.make_core(
+            self.model_cfg['DENSE_HEAD'], self.num_class, self.class_names,
+            np.asarray(self.grid_size), self.point_cloud_range)
+        loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
+        if 'point_loss' in batch_dict:
+            loss = loss + batch_dict['point_loss']
+            tb['point_loss'] = batch_dict['point_loss']
+        if 'rcnn_loss' in batch_dict:
+            loss = loss + batch_dict['rcnn_loss']
+            tb['rcnn_loss'] = batch_dict['rcnn_loss']
+        tb['loss'] = loss
+        return loss, tb
+
+
+_DETECTOR_NAMES = {
+    # all share the generic topology driver; names kept for config parity
+    'PointPillar', 'SECONDNet', 'PVRCNN',
+}
+
+
+def build_detector(model_cfg, num_class, dataset):
+    """dataset: provides grid_size, point_cloud_range, voxel_size,
+    num_point_features, class_names (like pcdet's dataset objects)."""
+    name = model_cfg.NAME
+    if name not in _DETECTOR_NAMES:
+        raise KeyError(f'unknown detector {name}')
+    return Detector3D(
+        model_cfg=model_cfg,
+        num_class=num_class,
+        class_names=tuple(dataset.class_names),
+        grid_size=tuple(int(g) for g in dataset.grid_size),
+        point_cloud_range=tuple(float(x) for x in dataset.point_cloud_range),
+        voxel_size=tuple(float(v) for v in dataset.voxel_size),
+        num_point_features=int(dataset.num_point_features),
+    )

@@ -1,0 +1,96 @@
+"""Post-processing: NMS + the AL-rich per-frame outputs, fully jittable.
+
+Parity: ``pcdet/models/detectors/detector3d_template.py:186-409`` — besides
+standard class-agnostic NMS this exports the extra signals the query
+strategies consume: full classification logits of the kept boxes
+(``pred_logits``), per-pred-box point density (``pred_box_unique_density``),
+and per-frame gt point statistics.  Fixed shapes: every per-frame output is a
+(post_max,)-padded tensor + validity mask (the reference returns ragged
+per-frame dicts).
+
+Also implements recall records (``generate_recall_record``,
+`detector3d_template.py:411-453`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nms as nms_ops
+from ..ops import iou3d
+from ..ops.points_in_boxes import box_point_density
+
+
+def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
+                       normalized=False, points=None, points_valid=None):
+    """Single frame. cls_preds: (A, num_class) logits; box_preds: (A, 7+).
+
+    Returns fixed-shape dict: pred_boxes (P, 7), pred_scores (P,),
+    pred_labels (P,), pred_logits (P, num_class), pred_valid (P,),
+    and pred_box_unique_density (P,) when points are given.
+    """
+    scores = cls_preds if normalized else jax.nn.sigmoid(cls_preds)
+    max_scores = scores.max(axis=-1)
+    labels = scores.argmax(axis=-1) + 1
+
+    nms_cfg = post_cfg.NMS_CONFIG
+    score_thresh = post_cfg.get('SCORE_THRESH', None)
+    keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms(
+        box_preds[:, :7], max_scores,
+        iou_thresh=float(nms_cfg.NMS_THRESH),
+        pre_max=int(nms_cfg.NMS_PRE_MAXSIZE),
+        post_max=int(nms_cfg.NMS_POST_MAXSIZE),
+        score_thresh=float(score_thresh) if score_thresh else None)
+
+    out = {
+        'pred_boxes': jnp.where(keep_valid[:, None], box_preds[keep_idx, :7], 0.0),
+        'pred_scores': jnp.where(keep_valid, keep_scores, 0.0),
+        'pred_labels': jnp.where(keep_valid, labels[keep_idx], 0),
+        'pred_logits': jnp.where(keep_valid[:, None], cls_preds[keep_idx], 0.0),
+        'pred_valid': keep_valid,
+    }
+    if points is not None:
+        # parity: pred_box_unique_density (detector3d_template.py:379-387)
+        out['pred_box_unique_density'] = box_point_density(
+            points[:, :3], out['pred_boxes'], points_valid, keep_valid)
+    return out
+
+
+def post_processing(batch_dict, post_cfg, num_class):
+    """Batched post-processing (vmapped per frame).
+
+    batch_dict needs: batch_cls_preds (B, A, C), batch_box_preds (B, A, 7+),
+    cls_preds_normalized (bool), optionally points (B, N, 3+) + points_valid.
+    Returns dict of (B, P, ...) arrays.
+    """
+    cls_preds = batch_dict['batch_cls_preds']
+    box_preds = batch_dict['batch_box_preds']
+    normalized = bool(batch_dict.get('cls_preds_normalized', False))
+    points = batch_dict.get('points', None)
+    points_valid = batch_dict.get('points_valid', None)
+
+    fn = partial(post_process_frame, post_cfg=post_cfg, num_class=num_class,
+                 normalized=normalized)
+    if points is not None:
+        return jax.vmap(lambda c, b, p, pv: fn(c, b, points=p, points_valid=pv))(
+            cls_preds, box_preds, points, points_valid)
+    return jax.vmap(lambda c, b: fn(c, b))(cls_preds, box_preds)
+
+
+def generate_recall_record(pred_boxes, pred_valid, gt_boxes, gt_valid,
+                           thresh_list=(0.3, 0.5, 0.7)):
+    """Single-frame recall counts vs rotated-IoU thresholds.
+
+    Parity: ``detector3d_template.generate_recall_record:411-453`` (rcnn
+    recall part). Returns dict {recalled_<t>: scalar count, gt: scalar}.
+    """
+    iou = iou3d.boxes_iou3d(gt_boxes[:, :7], pred_boxes[:, :7])
+    iou = jnp.where(pred_valid[None, :], iou, 0.0)
+    gt_max = jnp.where(gt_valid, iou.max(axis=1), 0.0)
+    out = {'gt': gt_valid.sum()}
+    for t in thresh_list:
+        out[f'rcnn_{t}'] = (gt_max > t).sum()
+    return out
