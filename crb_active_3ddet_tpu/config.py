@@ -59,7 +59,22 @@ class CfgNode(dict):
         return copy.deepcopy(self)
 
 
-def merge_new_config(config: CfgNode, new_config: dict) -> CfgNode:
+def _resolve_base_path(base_path: str, cur_file=None) -> Path:
+    """Resolve a _BASE_CONFIG_ include: as-is, relative to the including
+    file, relative to the repo root, or relative to repo_root/tools (the
+    reference resolves from the tools/ cwd)."""
+    candidates = [Path(base_path)]
+    if cur_file is not None:
+        candidates.append(Path(cur_file).resolve().parent / base_path)
+    root = Path(__file__).resolve().parent.parent
+    candidates += [root / base_path, root / 'tools' / base_path]
+    for cand in candidates:
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(f'_BASE_CONFIG_ not found: {base_path}')
+
+
+def merge_new_config(config: CfgNode, new_config: dict, cur_file=None) -> CfgNode:
     """Recursively merge ``new_config`` into ``config``.
 
     Handles ``_BASE_CONFIG_`` includes the same way the reference does
@@ -67,10 +82,10 @@ def merge_new_config(config: CfgNode, new_config: dict) -> CfgNode:
     current file's keys override it.
     """
     if '_BASE_CONFIG_' in new_config:
-        base_path = new_config['_BASE_CONFIG_']
+        base_path = _resolve_base_path(new_config['_BASE_CONFIG_'], cur_file)
         with open(base_path, 'r') as f:
             base_cfg = yaml.safe_load(f)
-        config.update(CfgNode(base_cfg))
+        merge_new_config(config, base_cfg, cur_file=base_path)
 
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
@@ -89,7 +104,7 @@ def load_config(cfg_file: str | Path, config: CfgNode | None = None) -> CfgNode:
     config = config if config is not None else CfgNode()
     with open(cfg_file, 'r') as f:
         new_config = yaml.safe_load(f)
-    merge_new_config(config, new_config)
+    merge_new_config(config, new_config, cur_file=cfg_file)
     config.TAG = Path(cfg_file).stem
     # EXP_GROUP_PATH mirrors pcdet: the cfg path relative to a 'cfgs' dir.
     parts = Path(cfg_file).resolve().parts

@@ -1,0 +1,135 @@
+"""Synthetic LiDAR dataset — deterministic generated scenes.
+
+No counterpart in the reference (it has no test suite, SURVEY.md §4); this
+dataset powers unit/integration tests, bench.py, and demo runs without KITTI
+on disk.  It exposes the same surface as KittiDataset (sample_id_list +
+infos + generate_prediction_dicts/evaluation) so the AL loop and trainers
+are exercised identically.
+
+Scenes: ground-plane clutter + per-class box clusters with class-typical
+sizes; boxes are the labels. Deterministic per (seed, index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import DatasetTemplate
+
+CLASS_SIZES = {
+    'Car': (3.9, 1.6, 1.56, -1.0),
+    'Pedestrian': (0.8, 0.6, 1.73, -0.8),
+    'Cyclist': (1.76, 0.6, 1.73, -0.8),
+}
+
+
+def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
+                points_per_obj=(60, 300)):
+    x0, y0, z0, x1, y1, z1 = pc_range
+    bg = np.stack([
+        rng.uniform(x0, x1, num_bg), rng.uniform(y0, y1, num_bg),
+        rng.normal(-1.6, 0.12, num_bg), rng.uniform(0, 1, num_bg),
+    ], axis=1).astype(np.float32)
+
+    n_obj = rng.randint(1, max_objects + 1)
+    boxes, names, pts = [], [], [bg]
+    for _ in range(n_obj):
+        name = class_names[rng.randint(len(class_names))]
+        dx, dy, dz, zc = CLASS_SIZES[name]
+        dx *= rng.uniform(0.9, 1.1)
+        dy *= rng.uniform(0.9, 1.1)
+        dz *= rng.uniform(0.95, 1.05)
+        cx = rng.uniform(x0 + 3, x1 - 3)
+        cy = rng.uniform(y0 + 2, y1 - 2)
+        heading = rng.uniform(-np.pi, np.pi)
+        npts = rng.randint(*points_per_obj)
+        local = rng.uniform(-0.5, 0.5, (npts, 3)) * np.array([dx, dy, dz])
+        ca, sa = np.cos(heading), np.sin(heading)
+        world = np.stack([
+            local[:, 0] * ca - local[:, 1] * sa + cx,
+            local[:, 0] * sa + local[:, 1] * ca + cy,
+            local[:, 2] + zc,
+        ], axis=1)
+        inten = rng.uniform(0, 1, (npts, 1))
+        pts.append(np.concatenate([world, inten], axis=1).astype(np.float32))
+        boxes.append([cx, cy, zc, dx, dy, dz, heading])
+        names.append(name)
+    points = np.concatenate(pts, axis=0)
+    return points, np.asarray(boxes, np.float32), np.asarray(names)
+
+
+class SyntheticDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None):
+        super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
+                         training=training, root_path=root_path or '/tmp',
+                         logger=logger)
+        self.num_scenes = int(dataset_cfg.get('NUM_SCENES', 64))
+        self.seed = int(dataset_cfg.get('SEED', 1234))
+        split = self.dataset_cfg.DATA_SPLIT[self.mode]
+        self.split_offset = 0 if split == 'train' else 100_000
+        # KittiDataset-parity identity surface for the AL layer
+        self.sample_id_list = [f'{self.split_offset + i:06d}'
+                               for i in range(self.num_scenes)]
+        self.infos = [{'frame_id': sid, 'point_cloud': {'lidar_idx': sid}}
+                      for sid in self.sample_id_list]
+        self.kitti_infos = self.infos  # alias, kitti-style attr name
+
+    def __len__(self):
+        if self._merge_all_iters_to_one_epoch:
+            return len(self.sample_id_list) * self.total_epochs
+        return len(self.sample_id_list)
+
+    def get_scene(self, sample_id: str):
+        rng = np.random.RandomState(self.seed + int(sample_id))
+        return _make_scene(rng, self.class_names,
+                           self.point_cloud_range,
+                           num_bg=int(self.dataset_cfg.get('NUM_BG_POINTS', 4096)),
+                           max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)))
+
+    def __getitem__(self, index):
+        if self._merge_all_iters_to_one_epoch:
+            index = index % len(self.sample_id_list)
+        sample_id = self.sample_id_list[index]
+        points, gt_boxes, gt_names = self.get_scene(sample_id)
+        input_dict = {
+            'points': points,
+            'gt_boxes': gt_boxes,
+            'gt_names': gt_names,
+            'frame_id': sample_id,
+        }
+        return self.prepare_data(input_dict)
+
+    def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        """Fixed-shape device preds → per-frame numpy annos (lidar frame).
+
+        Mirrors KittiDataset.generate_prediction_dicts but stays in lidar
+        coordinates (no calib for synthetic scenes).
+        """
+        annos = []
+        for i in range(batch_dict['batch_size']):
+            valid = np.asarray(pred_dicts['pred_valid'][i])
+            boxes = np.asarray(pred_dicts['pred_boxes'][i])[valid]
+            scores = np.asarray(pred_dicts['pred_scores'][i])[valid]
+            labels = np.asarray(pred_dicts['pred_labels'][i])[valid]
+            annos.append({
+                'frame_id': batch_dict['frame_id'][i],
+                'name': np.array([class_names[l - 1] for l in labels]),
+                'score': scores,
+                'boxes_lidar': boxes,
+                'pred_labels': labels,
+            })
+        return annos
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Simple lidar-frame AP (IoU-matched PR over score sweep) — the
+        synthetic stand-in for KITTI official eval."""
+        from ..utils.simple_eval import evaluate_lidar_ap
+        gt_annos = []
+        for det in det_annos:
+            _, boxes, names = self.get_scene(det['frame_id'])
+            gt_annos.append({'boxes_lidar': boxes, 'name': names})
+        ap_dict = evaluate_lidar_ap(det_annos, gt_annos, class_names)
+        ap_str = '\n'.join(f'{k}: {v:.4f}' for k, v in ap_dict.items())
+        return ap_str, ap_dict

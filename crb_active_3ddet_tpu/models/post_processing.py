@@ -80,6 +80,49 @@ def post_processing(batch_dict, post_cfg, num_class):
     return jax.vmap(lambda c, b: fn(c, b))(cls_preds, box_preds)
 
 
+def gt_class_stats(points, points_valid, gt_boxes, num_classes: int):
+    """Per-class gt box counts + per-class mean/median/variance of
+    points-in-box, single frame.
+
+    Parity: ``detector3d_template.py:242-267`` (num_bbox / mean_points /
+    median_points / variance_points dicts — here fixed (C,) arrays).
+    gt_boxes: (M, 8) zero-padded with class id in last channel.
+    """
+    from .. import ops
+    from ..ops.points_in_boxes import points_in_boxes
+    labels = gt_boxes[:, -1].astype(jnp.int32)
+    valid = jnp.abs(gt_boxes).sum(-1) > 0
+    member = points_in_boxes(points[:, :3], gt_boxes[:, :7])
+    if points_valid is not None:
+        member &= points_valid[:, None]
+    counts = member.sum(axis=0).astype(jnp.float32)  # (M,)
+
+    m = gt_boxes.shape[0]
+    num_bbox, mean_pts, median_pts, var_pts = [], [], [], []
+    for c in range(1, num_classes + 1):
+        cls_mask = valid & (labels == c)
+        n = cls_mask.sum()
+        num_bbox.append(n)
+        cnt_c = jnp.where(cls_mask, counts, 0.0)
+        mean = jnp.where(n > 0, cnt_c.sum() / jnp.clip(n, 1), 0.0)
+        var = jnp.where(
+            n > 0,
+            jnp.where(cls_mask, (counts - mean) ** 2, 0.0).sum() / jnp.clip(n, 1),
+            0.0)
+        sorted_c = jnp.sort(jnp.where(cls_mask, counts, jnp.inf))
+        med_idx = jnp.clip((n - 1) // 2, 0, m - 1)
+        median = jnp.where(n > 0, sorted_c[med_idx], 0.0)
+        mean_pts.append(mean)
+        median_pts.append(median)
+        var_pts.append(var)
+    return {
+        'num_bbox': jnp.stack(num_bbox).astype(jnp.int32),
+        'mean_points': jnp.stack(mean_pts),
+        'median_points': jnp.stack(median_pts),
+        'variance_points': jnp.stack(var_pts),
+    }
+
+
 def generate_recall_record(pred_boxes, pred_valid, gt_boxes, gt_valid,
                            thresh_list=(0.3, 0.5, 0.7)):
     """Single-frame recall counts vs rotated-IoU thresholds.

@@ -4,9 +4,10 @@ extension ``pcdet/ops/iou3d_nms`` (kernels ``boxes_overlap_kernel``,
 ``iou3d_nms_utils.boxes_bev_iou_cpu/boxes_iou_bev/boxes_iou3d_gpu``).
 
 Instead of per-pair scalar CUDA threads doing Sutherland–Hodgman clipping with
-dynamic vertex lists, we run the same polygon clip **vectorized over all pairs**
-with fixed-capacity (8-vertex) padded polygons + validity counts — pure XLA,
-fully jittable and vmappable, so the (N, M) IoU matrix is one fused kernel.
+dynamic vertex lists, the same polygon clip runs **vectorized over all pairs**
+in structure-of-arrays layout: every working tensor is (small, P) with the
+pair axis P minor, so it tiles perfectly onto the (8, 128) VPU lanes — an
+(N·M)-pair IoU matrix is one fused XLA kernel with no padded-layout blowup.
 
 Box convention: (x, y, z, dx, dy, dz, heading) — see utils/box_utils.py.
 """
@@ -22,68 +23,75 @@ _EPS = 1e-8
 _CAP = 8  # max vertices of the intersection of two convex quads
 
 
-def _box_corners_bev(box):
-    """(7,) box → (4, 2) CCW BEV corners."""
-    dx2, dy2 = box[3] / 2.0, box[4] / 2.0
-    # CCW local corners: (+,+), (-,+), (-,-), (+,-)
-    lx = jnp.array([1.0, -1.0, -1.0, 1.0]) * dx2
-    ly = jnp.array([1.0, 1.0, -1.0, -1.0]) * dy2
-    cosa, sina = jnp.cos(box[6]), jnp.sin(box[6])
-    cx = lx * cosa - ly * sina + box[0]
-    cy = lx * sina + ly * cosa + box[1]
-    return jnp.stack([cx, cy], axis=-1)
+def _corners_xy(boxes):
+    """(N, 7) → corner arrays x, y each (N, 4), CCW."""
+    dx2, dy2 = boxes[:, 3] / 2.0, boxes[:, 4] / 2.0
+    lx = jnp.stack([dx2, -dx2, -dx2, dx2], axis=1)   # (N, 4)
+    ly = jnp.stack([dy2, dy2, -dy2, -dy2], axis=1)
+    cosa = jnp.cos(boxes[:, 6])[:, None]
+    sina = jnp.sin(boxes[:, 6])[:, None]
+    cx = lx * cosa - ly * sina + boxes[:, 0:1]
+    cy = lx * sina + ly * cosa + boxes[:, 1:2]
+    return cx, cy
 
 
-def _cross2(o, a, b):
-    """2D cross product (a - o) x (b - o), broadcasting over leading dims."""
-    return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
-            - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
+def _clip_halfplane_soa(px, py, n, e1x, e1y, e2x, e2y):
+    """Clip CCW polygons (SoA) by the halfplane left of edge e1→e2.
 
-
-def _clip_halfplane(poly, n, e1, e2):
-    """Clip padded CCW polygon (poly: (CAP,2), count n) by halfplane left of
-    directed edge e1→e2. Returns (new_poly, new_n). Fixed shapes throughout."""
-    idx = jnp.arange(_CAP)
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    v = poly
-    vn = poly[nxt]
-    d = _cross2(e1, e2, v)    # signed dist of v  (>=0 == inside for CCW)
-    dn = _cross2(e1, e2, vn)  # signed dist of next vertex
+    px, py: (CAP, P) padded vertex coords; n: (P,) counts;
+    e*: (P,) edge endpoints. Returns (px', py', n')."""
+    idx = jnp.arange(_CAP)[:, None]                       # (CAP, 1)
+    nxt = jnp.where(idx + 1 >= n[None, :], 0, idx + 1)    # (CAP, P)
+    vnx = jnp.take_along_axis(px, nxt, axis=0)
+    vny = jnp.take_along_axis(py, nxt, axis=0)
+    ex, ey = (e2x - e1x)[None, :], (e2y - e1y)[None, :]
+    d = ex * (py - e1y[None, :]) - ey * (px - e1x[None, :])
+    dn = ex * (vny - e1y[None, :]) - ey * (vnx - e1x[None, :])
     inside = d >= 0
     inside_n = dn >= 0
     denom = d - dn
     t = d / jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    x = v + t[:, None] * (vn - v)  # edge/line intersection points
-    is_valid = idx < n
+    xx = px + t * (vnx - px)
+    xy = py + t * (vny - py)
+    is_valid = idx < n[None, :]
     emit_v = inside & is_valid
     emit_x = (inside != inside_n) & is_valid
-    # interleave [v0, x0, v1, x1, ...] then compact the emitted ones
-    cand = jnp.stack([v, x], axis=1).reshape(2 * _CAP, 2)
-    flags = jnp.stack([emit_v, emit_x], axis=1).reshape(2 * _CAP)
-    pos = jnp.cumsum(flags) - 1
-    pos = jnp.where(flags, pos, 2 * _CAP)  # out-of-range → dropped by scatter
-    out = jnp.zeros((_CAP, 2), poly.dtype).at[pos].set(cand, mode='drop')
-    return out, flags.sum()
+
+    # interleave [v0, x0, v1, x1, ...] → (2·CAP, P), then compact via
+    # one-hot position matmul (all dims small except minor P)
+    cand_x = jnp.stack([px, xx], axis=1).reshape(2 * _CAP, -1)
+    cand_y = jnp.stack([py, xy], axis=1).reshape(2 * _CAP, -1)
+    flags = jnp.stack([emit_v, emit_x], axis=1).reshape(2 * _CAP, -1)
+    pos = jnp.cumsum(flags, axis=0) - 1                   # (2CAP, P)
+    onehot = (pos[:, None, :] == jnp.arange(_CAP)[None, :, None]) \
+        & flags[:, None, :]                               # (2CAP, CAP, P)
+    oh = onehot.astype(px.dtype)
+    new_px = (oh * cand_x[:, None, :]).sum(axis=0)
+    new_py = (oh * cand_y[:, None, :]).sum(axis=0)
+    return new_px, new_py, flags.sum(axis=0)
 
 
-def _poly_area(poly, n):
-    """Shoelace area of padded CCW polygon."""
-    idx = jnp.arange(_CAP)
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    v, vn = poly, poly[nxt]
-    terms = v[:, 0] * vn[:, 1] - vn[:, 0] * v[:, 1]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(idx < n, terms, 0.0)))
+def _poly_area_soa(px, py, n):
+    idx = jnp.arange(_CAP)[:, None]
+    nxt = jnp.where(idx + 1 >= n[None, :], 0, idx + 1)
+    vnx = jnp.take_along_axis(px, nxt, axis=0)
+    vny = jnp.take_along_axis(py, nxt, axis=0)
+    terms = px * vny - vnx * py
+    terms = jnp.where(idx < n[None, :], terms, 0.0)
+    return 0.5 * jnp.abs(terms.sum(axis=0))
 
 
-def _pair_overlap_bev(box_a, box_b):
-    """Intersection area of two rotated BEV rectangles ((7,) boxes)."""
-    ca = _box_corners_bev(box_a)
-    cb = _box_corners_bev(box_b)
-    poly = jnp.zeros((_CAP, 2), ca.dtype).at[:4].set(ca)
-    n = jnp.asarray(4, jnp.int32)
-    for i in range(4):
-        poly, n = _clip_halfplane(poly, n, cb[i], cb[(i + 1) % 4])
-    return _poly_area(poly, n)
+def _overlap_pairs(ax, ay, bx, by):
+    """SoA overlap for P pairs. ax/ay/bx/by: (4, P) corner coords (CCW).
+    Returns (P,) intersection areas."""
+    p = ax.shape[1]
+    px = jnp.zeros((_CAP, p), ax.dtype).at[:4].set(ax)
+    py = jnp.zeros((_CAP, p), ay.dtype).at[:4].set(ay)
+    n = jnp.full((p,), 4, jnp.int32)
+    for e in range(4):
+        px, py, n = _clip_halfplane_soa(
+            px, py, n, bx[e], by[e], bx[(e + 1) % 4], by[(e + 1) % 4])
+    return _poly_area_soa(px, py, n)
 
 
 @jax.jit
@@ -92,8 +100,15 @@ def boxes_overlap_bev(boxes_a, boxes_b):
 
     Parity: ``iou3d_nms_cuda.boxes_overlap_bev_gpu``.
     """
-    f = jax.vmap(jax.vmap(_pair_overlap_bev, in_axes=(None, 0)), in_axes=(0, None))
-    return f(boxes_a, boxes_b)
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    acx, acy = _corners_xy(boxes_a)   # (N, 4)
+    bcx, bcy = _corners_xy(boxes_b)   # (M, 4)
+    # pair-major broadcast → (4, N·M)
+    ax = jnp.broadcast_to(acx[:, None, :], (n, m, 4)).reshape(-1, 4).T
+    ay = jnp.broadcast_to(acy[:, None, :], (n, m, 4)).reshape(-1, 4).T
+    bx = jnp.broadcast_to(bcx[None, :, :], (n, m, 4)).reshape(-1, 4).T
+    by = jnp.broadcast_to(bcy[None, :, :], (n, m, 4)).reshape(-1, 4).T
+    return _overlap_pairs(ax, ay, bx, by).reshape(n, m)
 
 
 @jax.jit
@@ -131,8 +146,7 @@ def boxes3d_nearest_bev_iou(boxes_a, boxes_b):
     """Axis-aligned BEV IoU after snapping each heading to the nearest axis.
 
     Parity: ``box_utils.boxes3d_nearest_bev_iou`` (used by the axis-aligned
-    anchor target assigner).  Snapping swaps dx/dy when the heading is closer
-    to ±π/2; the IoU is then plain axis-aligned.
+    anchor target assigner).
     """
     def to_aabb(b):
         rot = jnp.abs(jnp.mod(b[:, 6], jnp.pi))
@@ -155,11 +169,7 @@ def boxes3d_nearest_bev_iou(boxes_a, boxes_b):
 
 @partial(jax.jit, static_argnames=('row_chunk',))
 def boxes_iou_bev_chunked(boxes_a, boxes_b, row_chunk: int = 256):
-    """Row-chunked (N, M) BEV IoU for large N·M (bounds peak memory).
-
-    Uses ``lax.map`` over row blocks so XLA materializes only one
-    (row_chunk, M) clip workspace at a time.
-    """
+    """Row-chunked (N, M) BEV IoU for large N·M (bounds peak memory)."""
     n = boxes_a.shape[0]
     pad = (-n) % row_chunk
     a = jnp.pad(boxes_a, ((0, pad), (0, 0)))

@@ -64,8 +64,19 @@ def rotated_nms(boxes, scores, iou_thresh: float, pre_max: int, post_max: int,
     top_boxes = boxes[order]
     valid = top_scores > _NEG_INF / 2
 
-    iou_fn = boxes_iou_bev if use_bev_iou else boxes3d_nearest_bev_iou
-    iou_hit = iou_fn(top_boxes, top_boxes) > iou_thresh
+    if use_bev_iou:
+        # row-chunked rotated IoU: bounds the polygon-clip workspace to
+        # (chunk, K) pairs at a time; only the thresholded bool matrix
+        # persists (a full (K, K) f32 clip workspace at K=4096 would be
+        # hundreds of GB)
+        chunk = min(256, k)
+        pad = (-k) % chunk
+        rows = jnp.pad(top_boxes, ((0, pad), (0, 0))).reshape(-1, chunk, 7)
+        iou_hit = jax.lax.map(
+            lambda blk: boxes_iou_bev(blk, top_boxes) > iou_thresh,
+            rows).reshape(-1, k)[:k]
+    else:
+        iou_hit = boxes3d_nearest_bev_iou(top_boxes, top_boxes) > iou_thresh
     keep = _greedy_suppress(iou_hit, valid)
 
     # compact kept (score-sorted already) into fixed (post_max,) buffer

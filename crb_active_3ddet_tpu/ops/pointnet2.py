@@ -1,0 +1,113 @@
+"""PointNet++ primitives (pure JAX, fixed shapes) — TPU-native replacement
+for ``pcdet/ops/pointnet2`` (both the "stack" ragged variant
+``pointnet2_stack/src/*.cu`` and the dense-batch ``pointnet2_batch``):
+farthest point sampling (``sampling_gpu.cu:25``), ball query
+(``ball_query_gpu.cu``), grouping, and three-NN interpolation
+(``interpolate_gpu.cu``).
+
+Ragged "stack" semantics become padded (N, ...) buffers + validity masks;
+the batch dimension is vmapped by callers.  FPS is the inherently-sequential
+piece — implemented as ``lax.fori_loop`` over K iterations of a vectorized
+argmax (O(K·N) with all N-work on the VPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+@partial(jax.jit, static_argnames=('num_samples',))
+def farthest_point_sample(points, valid, num_samples: int):
+    """(N, 3) padded points → (num_samples,) int32 indices.
+
+    Parity: ``pointnet2_stack_utils.farthest_point_sample`` /
+    ``sampling_gpu.cu:25`` — starts from index 0, iteratively picks the
+    point maximizing the min-distance to the selected set.  Invalid slots
+    never get picked (distance −inf); if fewer valid points than samples,
+    indices repeat (harmless downstream, like the reference's behavior with
+    padded buffers).
+    """
+    n = points.shape[0]
+
+    def body(i, carry):
+        min_dist, idxs, last = carry
+        d = jnp.sum((points - points[last]) ** 2, axis=1)
+        min_dist = jnp.minimum(min_dist, jnp.where(valid, d, -_BIG))
+        nxt = jnp.argmax(min_dist).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_dist, idxs, nxt
+
+    first = jnp.asarray(0, jnp.int32)
+    init = (jnp.where(valid, _BIG, -_BIG),
+            jnp.zeros((num_samples,), jnp.int32).at[0].set(first), first)
+    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, init)
+    return idxs
+
+
+@partial(jax.jit, static_argnames=('nsample',))
+def ball_query(radius: float, nsample: int, xyz, xyz_valid, new_xyz,
+               new_xyz_valid):
+    """Fixed-capacity ball query.
+
+    xyz: (N, 3) source points; new_xyz: (M, 3) query centers.
+    Returns (idx (M, nsample) int32, cnt (M,)) — first ``nsample`` source
+    points within ``radius`` of each center, in source order; empty slots
+    repeat the first hit (CUDA kernel semantics: ``ball_query_gpu.cu``
+    initializes all slots to the first found index).
+    """
+    d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    in_ball = (d2 < radius * radius) & xyz_valid[None, :] \
+        & new_xyz_valid[:, None]                       # (M, N)
+    # rank of each source point among hits (source order)
+    rank = jnp.cumsum(in_ball, axis=1) - 1             # (M, N)
+    take = in_ball & (rank < nsample)
+    n = xyz.shape[0]
+    src_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    # scatter hit indices into (M, nsample)
+    m = new_xyz.shape[0]
+    pos = jnp.where(take, rank, nsample)
+    idx = jnp.zeros((m, nsample + 1), jnp.int32)
+    idx = jax.vmap(lambda p, s: jnp.zeros((nsample + 1,), jnp.int32)
+                   .at[p].set(s, mode='drop'))(pos, jnp.broadcast_to(src_idx, (m, n)))
+    idx = idx[:, :nsample]
+    cnt = jnp.minimum(in_ball.sum(axis=1), nsample).astype(jnp.int32)
+    # pad empty slots with the first hit (slot 0)
+    slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
+    idx = jnp.where(slot_valid, idx, idx[:, 0:1])
+    return idx, cnt
+
+
+def grouping_operation(features, idx, idx_valid=None):
+    """features: (N, C); idx: (M, K) → (M, K, C), zeros where invalid."""
+    out = features[jnp.clip(idx, 0)]
+    if idx_valid is not None:
+        out = jnp.where(idx_valid[..., None], out, 0.0)
+    return out
+
+
+@jax.jit
+def three_nn(unknown, unknown_valid, known, known_valid):
+    """3 nearest neighbors: (M, 3) queries vs (N, 3) sources.
+
+    Parity: ``interpolate_gpu.cu three_nn``. Returns (dist (M, 3),
+    idx (M, 3) int32)."""
+    d2 = jnp.sum((unknown[:, None, :] - known[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(known_valid[None, :], d2, _BIG)
+    neg_top, idx = jax.lax.top_k(-d2, 3)
+    dist = jnp.sqrt(jnp.clip(-neg_top, 0.0))
+    return dist, idx.astype(jnp.int32)
+
+
+@jax.jit
+def three_interpolate(features, idx, dist):
+    """Inverse-distance-weighted interpolation of (N, C) features at
+    3-NN indices. Parity: ``interpolate_gpu.cu three_interpolate``."""
+    weight = 1.0 / jnp.clip(dist * dist, 1e-8)
+    weight = weight / weight.sum(axis=1, keepdims=True)
+    neighbors = features[idx]          # (M, 3, C)
+    return (neighbors * weight[..., None]).sum(axis=1)

@@ -1,0 +1,135 @@
+"""Rulebook construction for sparse 3D conv (pure JAX, jittable).
+
+The reference relies on spconv's CUDA hash tables to pair input/output sites
+per kernel offset.  TPU-first replacement: voxel coords hash to int32 linear
+ids, a stable sort gives a binary-searchable table, and neighbor lookups are
+``searchsorted`` — O(K³·V·log V) with fixed shapes, all fused by XLA.
+
+Conventions: coords are (V, 3) int32 in (z, y, x) order with a validity
+mask; invalid slots hash to INT32_MAX so they never match.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_INVALID = jnp.iinfo(jnp.int32).max
+
+
+def hash_coords(coords, valid, grid):
+    """(V, 3) z,y,x coords → (V,) int32 linear ids (invalid → INT32_MAX)."""
+    nz, ny, nx = grid
+    h = coords[:, 0] * (ny * nx) + coords[:, 1] * nx + coords[:, 2]
+    in_bounds = ((coords[:, 0] >= 0) & (coords[:, 0] < nz)
+                 & (coords[:, 1] >= 0) & (coords[:, 1] < ny)
+                 & (coords[:, 2] >= 0) & (coords[:, 2] < nx))
+    return jnp.where(valid & in_bounds, h, _INVALID).astype(jnp.int32)
+
+
+def build_hash_table(coords, valid, grid):
+    """Sorted-hash table: returns (sorted_hashes (V,), perm (V,))."""
+    h = hash_coords(coords, valid, grid)
+    perm = jnp.argsort(h)
+    return h[perm], perm
+
+
+def lookup(sorted_hashes, perm, query_hashes):
+    """Query hashes → index into the ORIGINAL (unsorted) voxel array, or −1."""
+    pos = jnp.searchsorted(sorted_hashes, query_hashes)
+    pos = jnp.clip(pos, 0, sorted_hashes.shape[0] - 1)
+    found = (sorted_hashes[pos] == query_hashes) & (query_hashes != _INVALID)
+    idx = perm[pos]
+    return jnp.where(found, idx, -1).astype(jnp.int32)
+
+
+def _kernel_offsets(kernel_size):
+    """(K³, 3) offsets in (z, y, x), row-major over (kz, ky, kx)."""
+    kz, ky, kx = kernel_size
+    oz, oy, ox = jnp.meshgrid(jnp.arange(kz), jnp.arange(ky), jnp.arange(kx),
+                              indexing='ij')
+    return jnp.stack([oz.reshape(-1), oy.reshape(-1), ox.reshape(-1)], axis=1)
+
+
+@partial(jax.jit, static_argnames=('grid', 'kernel_size'))
+def lookup_neighbors(out_coords, out_valid, in_coords, in_valid, grid,
+                     kernel_size=(3, 3, 3), stride=(1, 1, 1),
+                     padding=(1, 1, 1)):
+    """Rulebook: for each output site and kernel offset, the input index.
+
+    input site = out*stride − pad + offset.  Returns (V_out, K³) int32 with
+    −1 where no active input exists. For submanifold conv pass
+    out_coords=in_coords, stride 1, pad (k−1)/2.
+    """
+    sorted_h, perm = build_hash_table(in_coords, in_valid, grid)
+    offsets = _kernel_offsets(kernel_size)  # (K, 3)
+    stride_a = jnp.asarray(stride)
+    pad_a = jnp.asarray(padding)
+    # (V, K, 3) input coords feeding each output site
+    nbr = (out_coords[:, None, :] * stride_a[None, None, :]
+           - pad_a[None, None, :] + offsets[None, :, :])
+    nz, ny, nx = grid
+    h = nbr[..., 0] * (ny * nx) + nbr[..., 1] * nx + nbr[..., 2]
+    in_bounds = ((nbr >= 0).all(-1)
+                 & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx))
+    h = jnp.where(in_bounds & out_valid[:, None], h, _INVALID).astype(jnp.int32)
+    return lookup(sorted_h, perm, h)
+
+
+def conv_out_grid(grid, kernel_size, stride, padding):
+    """Static output grid of a strided sparse conv."""
+    return tuple((g + 2 * p - k) // s + 1
+                 for g, k, s, p in zip(grid, kernel_size, stride, padding))
+
+
+@partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding',
+                                   'max_out'))
+def downsample_coords(in_coords, in_valid, grid, kernel_size, stride, padding,
+                      max_out: int):
+    """Active output sites of a strided sparse conv, capped at max_out.
+
+    An output site o is active iff some active input i satisfies
+    i = o·s − p + k for k ∈ [0, K).  Candidates per input:
+    o = floor((i + p − k)/s) for the k making the division exact.
+    Dedup via sort + first-occurrence scatter (same trick as the voxelizer).
+
+    Returns (out_coords (max_out, 3), out_valid (max_out,)); the static
+    output grid comes from :func:`conv_out_grid`.
+    """
+    ks = kernel_size
+    st = stride
+    pd = padding
+    out_grid = conv_out_grid(grid, ks, st, pd)
+
+    # candidate offsets: all k per dim; invalid combos masked by exactness
+    offs = _kernel_offsets(ks)  # (K, 3)
+    num = (in_coords[:, None, :] + jnp.asarray(pd)[None, None, :]
+           - offs[None, :, :])  # (V, K, 3)
+    st_a = jnp.asarray(st)[None, None, :]
+    exact = (num % st_a == 0).all(-1)
+    o = num // st_a
+    noz, noy, nox = out_grid
+    in_bounds = ((o >= 0).all(-1)
+                 & (o[..., 0] < noz) & (o[..., 1] < noy) & (o[..., 2] < nox))
+    ok = exact & in_bounds & in_valid[:, None]
+
+    h = (o[..., 0] * (noy * nox) + o[..., 1] * nox + o[..., 2])
+    h = jnp.where(ok, h, _INVALID).astype(jnp.int32).reshape(-1)
+
+    h_sorted = jnp.sort(h)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             h_sorted[1:] != h_sorted[:-1]])
+    first &= h_sorted != _INVALID
+    slot = jnp.cumsum(first) - 1
+    n_out = first.sum()
+    pos = jnp.where(first & (slot < max_out), slot, max_out)
+    out_h = jnp.full((max_out,), _INVALID, jnp.int32).at[pos].set(
+        h_sorted, mode='drop')
+    out_valid = jnp.arange(max_out) < jnp.minimum(n_out, max_out)
+    oz = out_h // (noy * nox)
+    rem = out_h % (noy * nox)
+    out_coords = jnp.stack([oz, rem // nox, rem % nox], axis=1)
+    out_coords = jnp.where(out_valid[:, None], out_coords, -1)
+    return out_coords, out_valid

@@ -1,0 +1,230 @@
+"""Strategy base: jitted batched pool scoring + selection bookkeeping.
+
+Parity: ``pcdet/query_strategies/strategy.py`` (frame/info pairs :23-26,
+``save_points`` :28-38, ``save_active_labels`` pickle layout :66-81, wandb
+``update_dashboard`` :42-63).
+
+TPU-first: instead of the reference's per-frame Python loop over pred_dicts,
+``scan_pool`` runs ONE jitted function per batch that computes every
+fixed-width per-frame signal (entropy, label histogram entropy, densities,
+gt stats, MC stats, embeddings) on device; strategies then select on small
+host arrays (SURVEY.md §7 "acquisition as a jitted batched pass").
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import post_processing as pp
+from ..runtime.train import prepare_device_batch, host_to_device_batch
+
+try:
+    import wandb
+    _WANDB = wandb.run is not None
+except Exception:  # pragma: no cover - wandb optional
+    wandb = None
+    _WANDB = False
+
+
+def _softmax_entropy(logits, valid=None):
+    """Per-box softmax entropy → mean over (valid) boxes. logits: (P, C)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ent = -(jnp.exp(logp) * logp).sum(-1)  # (P,)
+    if valid is None:
+        return ent.mean()
+    n = jnp.clip(valid.sum(), 1)
+    return jnp.where(valid, ent, 0.0).sum() / n
+
+
+class Strategy:
+    def __init__(self, model, variables, labelled_loader, unlabelled_loader,
+                 rank, active_label_dir, cfg):
+        self.cfg = cfg
+        self.active_label_dir = active_label_dir
+        self.rank = rank
+        self.model = model
+        self.variables = variables
+        self.labelled_loader = labelled_loader
+        self.unlabelled_loader = unlabelled_loader
+        self.labelled_set = labelled_loader.dataset
+        self.unlabelled_set = unlabelled_loader.dataset
+        self.class_names = list(cfg.CLASS_NAMES)
+        self.num_class = len(self.class_names)
+        self.bbox_records = {}
+        self.point_measures = ['mean', 'median', 'variance']
+        for met in self.point_measures:
+            setattr(self, f'{met}_point_records', {})
+
+        if hasattr(self.unlabelled_set, 'sample_id_list'):
+            info_attr = 'kitti_infos' if hasattr(self.unlabelled_set, 'kitti_infos') \
+                else 'infos'
+            self.pairs = list(zip(self.unlabelled_set.sample_id_list,
+                                  getattr(self.unlabelled_set, info_attr)))
+        else:
+            self.pairs = list(zip(self.unlabelled_set.frame_ids,
+                                  self.unlabelled_set.infos))
+        self._score_fn = None
+
+    # ---- jitted pool scoring ------------------------------------------------
+    def build_score_fn(self, mc_dropout: bool = False, num_mc: int = 0):
+        """Jitted (variables, host_batch, rng) → per-frame signal dict."""
+        dataset = self.unlabelled_set
+        model = self.model
+        post_cfg = self.cfg.MODEL.POST_PROCESSING
+        num_class = self.num_class
+        voxel_cfg = dataset.voxel_cfg
+        grid_size = tuple(int(g) for g in dataset.grid_size)
+        pcr = tuple(float(x) for x in dataset.point_cloud_range)
+        vs = tuple(float(v) for v in dataset.voxel_size)
+
+        @jax.jit
+        def score(variables, host_batch, rng):
+            batch = prepare_device_batch(host_batch, voxel_cfg, grid_size,
+                                         pcr, vs)
+            if mc_dropout and num_mc > 1:
+                # MC-dropout rounds: eval-mode forward with live dropout rngs
+                # (parity: SAMPLING_ROUND re-runs, pvrcnn_head.py:188-202)
+                rngs = jax.random.split(rng, num_mc)
+                outs = [model.apply(variables, batch, training=False,
+                                    rngs={'dropout': r}) for r in rngs]
+                out = outs[0]
+                mc_cls = jnp.stack([jax.nn.sigmoid(o['batch_cls_preds'])
+                                    for o in outs])   # (S, B, A, C)
+                mc_box = jnp.stack([o['batch_box_preds'] for o in outs])
+                out = dict(out)
+                out['mc_cls_mean'] = mc_cls.mean(0)
+                out['mc_cls_var'] = mc_cls.var(0)
+                out['mc_box_var'] = mc_box.var(0)
+                out['batch_cls_preds'] = (
+                    jax.scipy.special.logit(
+                        jnp.clip(out['mc_cls_mean'], 1e-6, 1 - 1e-6)))
+            else:
+                out = model.apply(variables, batch, training=False)
+
+            preds = pp.post_processing(out, post_cfg, num_class=num_class)
+
+            signals = {}
+            # frame-level predictive entropy over kept-box logits
+            signals['box_entropy'] = jax.vmap(_softmax_entropy)(
+                preds['pred_logits'], preds['pred_valid'])
+            # CRB stage-1: Shannon entropy of the predicted label histogram.
+            # Reference quirk (crb_sampling.py:86-93): absent classes get a
+            # pseudo-count of 1 (`unique_proportions = torch.ones(num_class)`)
+            # before Categorical normalization; empty frames score 0.
+            def label_hist_entropy(labels, valid):
+                onehot = jax.nn.one_hot(labels - 1, num_class) * valid[:, None]
+                counts = onehot.sum(0)
+                hist = jnp.maximum(counts, 1.0)
+                p = hist / hist.sum()
+                ent = -(p * jnp.log(p)).sum()
+                return jnp.where(valid.any(), ent, 0.0)
+            signals['label_entropy'] = jax.vmap(label_hist_entropy)(
+                preds['pred_labels'], preds['pred_valid'])
+            # all-anchor confidence entropy (confidence strategy)
+            cls_sig = jax.nn.sigmoid(out['batch_cls_preds'])
+            signals['confidence_entropy'] = jax.vmap(
+                lambda s: _softmax_entropy(s))(cls_sig)
+            signals['pred_density'] = preds['pred_box_unique_density']
+            signals['pred_labels'] = preds['pred_labels']
+            signals['pred_valid'] = preds['pred_valid']
+            if mc_dropout and num_mc > 1:
+                signals['mc_cls_var'] = out['mc_cls_var'].mean(axis=(1, 2))
+                signals['mc_box_var'] = out['mc_box_var'].mean(axis=(1, 2))
+            if 'loss_predictions' in out:
+                signals['loss_predictions'] = out['loss_predictions'].reshape(-1)
+            if 'shared_features' in out:
+                b = preds['pred_valid'].shape[0]
+                signals['embeddings'] = out['shared_features'].reshape(b, -1)
+            else:
+                # single-stage fallback for coreset: mean-pooled BEV features
+                signals['embeddings'] = out['spatial_features_2d'].mean(
+                    axis=(1, 2))
+            # bookkeeping gt stats (dashboard parity)
+            gt_stats = jax.vmap(partial(pp.gt_class_stats,
+                                        num_classes=num_class))(
+                batch['points'], batch['points_valid'], batch['gt_boxes'])
+            signals.update(gt_stats)
+            return signals
+
+        return score
+
+    def scan_pool(self, mc_dropout=False, num_mc=0, rng=None, loader=None):
+        """Run the jitted scorer over the whole unlabelled pool.
+
+        Returns dict frame_id → {signal: np.array}, in pool order.
+        """
+        loader = loader if loader is not None else self.unlabelled_loader
+        if self._score_fn is None:
+            self._score_fn = self.build_score_fn(mc_dropout, num_mc)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        records = {}
+        for batch in loader:
+            host_batch = host_to_device_batch(batch)
+            rng, sub = jax.random.split(rng)
+            sig = self._score_fn(self.variables, host_batch, sub)
+            sig = jax.tree.map(np.asarray, sig)
+            for i, fid in enumerate(batch['frame_id']):
+                records[fid] = {k: v[i] for k, v in sig.items()}
+                self.save_points(fid, records[fid])
+        return records
+
+    # ---- bookkeeping (reference-parity surfaces) ---------------------------
+    def save_points(self, frame_id, record):
+        as_dict = lambda arr: {c: float(np.asarray(arr)[i])
+                               for i, c in enumerate(self.class_names)}
+        self.bbox_records[frame_id] = as_dict(record['num_bbox'])
+        self.mean_point_records[frame_id] = as_dict(record['mean_points'])
+        self.median_point_records[frame_id] = as_dict(record['median_points'])
+        self.variance_point_records[frame_id] = as_dict(record['variance_points'])
+
+    def update_dashboard(self, cur_epoch=None, accumulated_iter=None):
+        if not _WANDB:
+            return
+        classes = list(self.selected_bbox[0].keys())
+        total_bbox = 0
+        for cls_idx in classes:
+            num_cls_bbox = sum(i[cls_idx] for i in self.selected_bbox)
+            wandb.log({f'active_selection/num_bbox_{cls_idx}': num_cls_bbox},
+                      step=accumulated_iter)
+            total_bbox += num_cls_bbox
+            for met in self.point_measures:
+                sel = getattr(self, f'selected_{met}_points')
+                val = (sum(i[cls_idx] for i in sel) / len(sel)) if num_cls_bbox else 0
+                wandb.log({f'active_selection/{met}_points_{cls_idx}': val},
+                          step=accumulated_iter)
+        wandb.log({'active_selection/total_bbox_selected': total_bbox},
+                  step=accumulated_iter)
+
+    def save_active_labels(self, selected_frames=None, grad_embeddings=None,
+                           cur_epoch=None):
+        if selected_frames is not None:
+            self.selected_bbox = [self.bbox_records[i] for i in selected_frames]
+            for met in self.point_measures:
+                setattr(self, f'selected_{met}_points',
+                        [getattr(self, f'{met}_point_records')[i]
+                         for i in selected_frames])
+            path = os.path.join(
+                self.active_label_dir,
+                f'selected_frames_epoch_{cur_epoch}_rank_{self.rank}.pkl')
+            with open(path, 'wb') as f:
+                pickle.dump({
+                    'frame_id': selected_frames,
+                    'selected_mean_points': self.selected_mean_points,
+                    'selected_bbox': self.selected_bbox,
+                    'selected_median_points': self.selected_median_points,
+                    'selected_variance_points': self.selected_variance_points,
+                }, f)
+        if grad_embeddings is not None:
+            path = os.path.join(self.active_label_dir,
+                                f'grad_embeddings_epoch_{cur_epoch}.pkl')
+            with open(path, 'wb') as f:
+                pickle.dump(grad_embeddings, f)
+
+    def query(self, leave_pbar=True, cur_epoch=None):
+        raise NotImplementedError

@@ -1,0 +1,171 @@
+"""Active-learning training driver.
+
+Parity: ``tools/train_utils/train_active_utils.py`` (train_model_active
+:85-376 — save init weights, PHASE A pretrain, selection-round boundaries,
+reset-to-init + retrain per round) and
+``pcdet/utils/active_training_utils.py`` (select_active_labels :240-325 —
+build strategy, resume pickled selections, move frames between pools,
+rebuild both dataloaders).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..datasets import build_active_dataloader, _identity_attrs
+from ..models import build_network
+from ..query_strategies import build_strategy
+from . import checkpoint as ckpt_rt
+from . import train as train_rt
+from .optimization import build_optimizer
+
+
+def select_active_labels(model, variables, labelled_loader, unlabelled_loader,
+                         rank, logger, method, cur_epoch=None,
+                         dist_train=False, active_label_dir=None, cfg=None):
+    """Parity: ``active_training_utils.select_active_labels:240-325``.
+    Returns (labelled_loader, unlabelled_loader, selected_frames)."""
+    resume_path = Path(active_label_dir) / \
+        f'selected_frames_epoch_{cur_epoch}_rank_{rank}.pkl'
+    if resume_path.exists():
+        with open(resume_path, 'rb') as f:
+            selected_frames = pickle.load(f)['frame_id']
+        logger.info('found and resumed %s', resume_path)
+    else:
+        strategy = build_strategy(method, model, variables, labelled_loader,
+                                  unlabelled_loader, rank, active_label_dir,
+                                  cfg)
+        selected_frames = list(strategy.query(cur_epoch=cur_epoch))
+        strategy.save_active_labels(selected_frames=selected_frames,
+                                    cur_epoch=cur_epoch)
+        strategy.update_dashboard(cur_epoch=cur_epoch)
+
+    labelled_set = labelled_loader.dataset
+    unlabelled_set = unlabelled_loader.dataset
+    id_attr, info_attr = _identity_attrs(unlabelled_set)
+
+    sel_ids = list(getattr(labelled_set, id_attr))
+    sel_infos = list(getattr(labelled_set, info_attr))
+    unsel_ids, unsel_infos = [], []
+    for fid, info in zip(getattr(unlabelled_set, id_attr),
+                         getattr(unlabelled_set, info_attr)):
+        if fid in selected_frames:
+            sel_ids.append(fid)
+            sel_infos.append(info)
+        else:
+            unsel_ids.append(fid)
+            unsel_infos.append(info)
+
+    batch_size = labelled_loader.batch_size
+    workers = labelled_loader.num_workers
+    active_training = (tuple(sel_ids), tuple(sel_infos),
+                       tuple(unsel_ids), tuple(unsel_infos))
+    (labelled_set, unlabelled_set, labelled_loader, unlabelled_loader,
+     _, _) = build_active_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, dist_train,
+        workers=workers, logger=logger, training=True,
+        active_training=active_training)
+    return labelled_loader, unlabelled_loader, selected_frames
+
+
+def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
+                       workers=4, rank=0):
+    """The AL outer loop (parity: train_active_utils.train_model_active)."""
+    active_cfg = cfg.ACTIVE_TRAIN
+    active_label_dir = output_dir / 'active_labels'
+    backbone_dir = output_dir / 'backbone'
+    active_label_dir.mkdir(parents=True, exist_ok=True)
+    backbone_dir.mkdir(parents=True, exist_ok=True)
+
+    (labelled_set, unlabelled_set, labelled_loader, unlabelled_loader,
+     _, _) = build_active_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, False,
+        workers=workers, logger=logger, training=True,
+        pre_train_sample_nums=active_cfg.PRE_TRAIN_SAMPLE_NUMS, seed=666)
+
+    model = build_network(model_cfg=cfg.MODEL,
+                          num_class=len(cfg.CLASS_NAMES), dataset=labelled_set)
+
+    pretrain_epochs = int(active_cfg.PRE_TRAIN_EPOCH_NUMS)
+    interval = int(active_cfg.SELECT_LABEL_EPOCH_INTERVAL)
+    num_rounds = int(active_cfg.TOTAL_BUDGET_NUMS) // int(active_cfg.SELECT_NUMS)
+    total_epochs = pretrain_epochs + num_rounds * interval
+    logger.info('AL schedule: pretrain %d epochs, %d rounds x %d epochs '
+                '(select %d/round, budget %d)', pretrain_epochs, num_rounds,
+                interval, active_cfg.SELECT_NUMS, active_cfg.TOTAL_BUDGET_NUMS)
+
+    steps_per_epoch = max(len(labelled_loader), 1)
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION,
+                                   total_steps=steps_per_epoch * pretrain_epochs)
+    state = train_rt.init_train_state(model, optimizer, labelled_set,
+                                      batch_size)
+    rng = jax.random.PRNGKey(666)
+
+    # save init weights — every round retrains from scratch from these
+    # (parity: train_active_utils.py:97-105,320-322)
+    init_ckpt_path = backbone_dir / 'init_checkpoint'
+    if not (backbone_dir / 'init_checkpoint.pkl').exists():
+        ckpt_rt.save_checkpoint(
+            ckpt_rt.checkpoint_state(state, epoch=0, it=0), str(init_ckpt_path))
+    init_ckpt = ckpt_rt.load_checkpoint(str(init_ckpt_path) + '.pkl')
+
+    train_step = train_rt.make_train_step(model, optimizer, labelled_set)
+
+    # ---------------- PHASE A: pretrain -------------------------------------
+    pretrain_ckpt, resumed_epoch = (None, 0)
+    if active_cfg.get('TRAIN_RESUME', False):
+        pretrain_ckpt, resumed_epoch = ckpt_rt.find_latest_checkpoint(backbone_dir)
+    if pretrain_ckpt and resumed_epoch >= pretrain_epochs:
+        state = ckpt_rt.restore_train_state(
+            state, ckpt_rt.load_checkpoint(pretrain_ckpt))
+        logger.info('resumed pretrain from %s', pretrain_ckpt)
+    else:
+        for epoch in range(pretrain_epochs):
+            state, metrics, rng = train_rt.train_one_epoch(
+                state, train_step, labelled_loader, rng, logger=logger,
+                cur_epoch=epoch)
+            logger.info('[pretrain] epoch %d loss %.4f', epoch, metrics['loss'])
+        ckpt_rt.save_checkpoint(
+            ckpt_rt.checkpoint_state(state, epoch=pretrain_epochs,
+                                     it=int(state.step)),
+            str(backbone_dir / f'checkpoint_epoch_{pretrain_epochs}'))
+
+    # ---------------- PHASE B: selection rounds -----------------------------
+    cur_epoch = pretrain_epochs
+    for round_idx in range(num_rounds):
+        logger.info('=== selection round %d/%d (epoch %d) ===',
+                    round_idx + 1, num_rounds, cur_epoch)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        labelled_loader, unlabelled_loader, selected = select_active_labels(
+            model, variables, labelled_loader, unlabelled_loader, rank,
+            logger, method=active_cfg.METHOD, cur_epoch=cur_epoch,
+            active_label_dir=active_label_dir, cfg=cfg)
+        logger.info('selected %d frames; labelled pool now %d', len(selected),
+                    len(labelled_loader.dataset))
+
+        # reset to init weights, fresh optimizer/schedule for this round
+        steps_per_epoch = max(len(labelled_loader), 1)
+        optimizer, _ = build_optimizer(
+            cfg.OPTIMIZATION, total_steps=steps_per_epoch * interval)
+        state = train_rt.init_train_state(model, optimizer,
+                                          labelled_loader.dataset, batch_size)
+        state = ckpt_rt.restore_train_state(state, init_ckpt)
+        train_step = train_rt.make_train_step(model, optimizer,
+                                              labelled_loader.dataset)
+        for e in range(interval):
+            state, metrics, rng = train_rt.train_one_epoch(
+                state, train_step, labelled_loader, rng, logger=logger,
+                cur_epoch=cur_epoch + e)
+            logger.info('[round %d] epoch %d loss %.4f', round_idx + 1,
+                        cur_epoch + e, metrics['loss'])
+        cur_epoch += interval
+        ckpt_rt.save_checkpoint(
+            ckpt_rt.checkpoint_state(state, epoch=cur_epoch,
+                                     it=int(state.step)),
+            str(Path(ckpt_dir) / f'checkpoint_epoch_{cur_epoch}'))
+    return state

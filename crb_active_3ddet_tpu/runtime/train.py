@@ -1,0 +1,151 @@
+"""Training loop: jitted train step with fused on-device voxelization.
+
+Parity: ``tools/train_utils/train_utils.py`` (train_one_epoch :12-88,
+train_model :90-136) — per-iteration timing meters, tqdm, tb/wandb hooks.
+
+TPU-first: one ``train_step(state, host_batch, rng)`` pure function, jitted
+with donated state; the point→voxel transform runs inside the same XLA
+program as the model fwd/bwd (the reference voxelizes on dataloader-worker
+CPUs).  Data parallelism plugs in via ``parallel.shard_batch`` — the step
+itself is sharding-agnostic.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..ops import voxelize as vx_ops
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def prepare_device_batch(batch, voxel_cfg, grid_size, point_cloud_range,
+                         voxel_size):
+    """Host numpy batch → device arrays + fused per-sample voxelization.
+    Jit-compatible (called inside the train/eval step)."""
+    points = batch['points']            # (B, N, C)
+    num_points = batch['num_points']    # (B,)
+    n = points.shape[1]
+    points_valid = jnp.arange(n)[None, :] < num_points[:, None]
+
+    vox = jax.vmap(lambda p, v: vx_ops.voxelize(
+        p, v, jnp.asarray(point_cloud_range), jnp.asarray(voxel_size),
+        tuple(grid_size), voxel_cfg['max_voxels'],
+        voxel_cfg['max_points_per_voxel']))(points, points_valid)
+
+    out = {
+        'points': points,
+        'points_valid': points_valid,
+        'voxels': vox['voxels'],
+        'voxel_coords': vox['voxel_coords'],
+        'voxel_num_points': vox['voxel_num_points'],
+        'voxel_valid': vox['voxel_valid'],
+        'batch_size': points.shape[0],
+    }
+    if 'gt_boxes' in batch:
+        out['gt_boxes'] = batch['gt_boxes']
+    return out
+
+
+def host_to_device_batch(batch):
+    """Select the array keys the device step consumes."""
+    keep = ('points', 'num_points', 'gt_boxes')
+    return {k: jnp.asarray(np.asarray(batch[k])) for k in keep if k in batch}
+
+
+def make_train_step(model, optimizer, dataset):
+    """Build the jitted train step closed over static data config."""
+    voxel_cfg = dataset.voxel_cfg
+    grid_size = tuple(int(g) for g in dataset.grid_size)
+    pcr = tuple(float(x) for x in dataset.point_cloud_range)
+    vs = tuple(float(v) for v in dataset.voxel_size)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, host_batch, rng):
+        batch = prepare_device_batch(host_batch, voxel_cfg, grid_size, pcr, vs)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, training=True, mutable=['batch_stats'],
+                rngs={'dropout': rng})
+            loss, tb = model.compute_loss(out)
+            return loss, (tb, mutated)
+
+        (loss, (tb, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, batch_stats=mutated['batch_stats'],
+            opt_state=opt_state, step=state.step + 1)
+        metrics = {'loss': loss}
+        metrics.update({k: v for k, v in tb.items()
+                        if jnp.ndim(v) == 0})
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(model, optimizer, dataset, batch_size, rng=None):
+    """Initialize params/batch_stats with a dummy batch (shapes from cfg)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = dataset.data_processor.max_points_per_frame
+    c = dataset.num_point_features
+    host_batch = {
+        'points': jnp.zeros((batch_size, n, c), jnp.float32),
+        'num_points': jnp.full((batch_size,), 16, jnp.int32),
+        'gt_boxes': jnp.zeros((batch_size, dataset.max_gt_boxes, 8), jnp.float32),
+    }
+    voxel_cfg = dataset.voxel_cfg
+    grid_size = tuple(int(g) for g in dataset.grid_size)
+    pcr = tuple(float(x) for x in dataset.point_cloud_range)
+    vs = tuple(float(v) for v in dataset.voxel_size)
+    batch = prepare_device_batch(host_batch, voxel_cfg, grid_size, pcr, vs)
+    variables = model.init({'params': rng, 'dropout': rng}, batch,
+                           training=True)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
+
+
+def train_one_epoch(state, train_step, loader, rng, logger=None,
+                    log_interval=50, tb_log=None, cur_epoch=0):
+    """Parity surface: ``train_utils.train_one_epoch`` (timing meters,
+    scalar logging)."""
+    data_time = fwd_time = 0.0
+    losses = []
+    end = time.time()
+    for it, batch in enumerate(loader):
+        host_batch = host_to_device_batch(batch)
+        data_time += time.time() - end
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, host_batch, step_rng)
+        losses.append(metrics['loss'])
+        fwd_time += time.time() - end
+        end = time.time()
+        if logger is not None and (it % log_interval) == 0:
+            logger.info('epoch %d it %d loss %.4f', cur_epoch, it,
+                        float(metrics['loss']))
+        if tb_log is not None:
+            tb_log.add_scalar('train/loss', float(metrics['loss']),
+                              int(state.step))
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float('nan')
+    return state, {'loss': mean_loss, 'data_time': data_time,
+                   'batch_time': fwd_time}, rng

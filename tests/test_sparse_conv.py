@@ -1,0 +1,140 @@
+"""Sparse conv rulebook + backbone tests (oracle: dense 3D convolution)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+from crb_active_3ddet_tpu.ops.sparse.sparse_ops import (
+    subm_conv3d_gather, sparse_tensor_to_dense)
+
+GRID = (8, 8, 8)
+
+
+def _rand_sparse(rng, n_active, cap, c=4):
+    """Random sparse tensor with n_active unique sites padded to cap."""
+    all_sites = np.stack(np.unravel_index(
+        rng.choice(np.prod(GRID), n_active, replace=False), GRID), axis=1)
+    coords = np.full((cap, 3), -1, np.int32)
+    coords[:n_active] = all_sites
+    valid = np.zeros(cap, bool)
+    valid[:n_active] = True
+    feats = np.zeros((cap, c), np.float32)
+    feats[:n_active] = rng.randn(n_active, c)
+    return (jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid))
+
+
+def _dense_of(feats, coords, valid):
+    return np.asarray(sparse_tensor_to_dense(feats, coords, valid, GRID))
+
+
+class TestRulebook:
+    def test_hash_lookup_roundtrip(self):
+        rng = np.random.RandomState(0)
+        feats, coords, valid = _rand_sparse(rng, 20, 32)
+        sh, perm = rb.build_hash_table(coords, valid, GRID)
+        q = rb.hash_coords(coords, valid, GRID)
+        idx = rb.lookup(sh, perm, q)
+        # every valid voxel finds itself
+        assert (np.asarray(idx)[:20] == np.arange(20)).all()
+        assert (np.asarray(idx)[20:] == -1).all()
+
+    def test_subm_rulebook_center_is_self(self):
+        rng = np.random.RandomState(1)
+        feats, coords, valid = _rand_sparse(rng, 20, 32)
+        rbk = rb.lookup_neighbors(coords, valid, coords, valid, GRID)
+        center = np.asarray(rbk)[:, 13]  # (3,3,3) center offset
+        assert (center[:20] == np.arange(20)).all()
+
+
+class TestSubmConvVsDense:
+    def test_matches_dense_conv(self):
+        """Submanifold conv on active sites == dense conv masked to active."""
+        rng = np.random.RandomState(2)
+        c_in, c_out = 4, 8
+        feats, coords, valid = _rand_sparse(rng, 30, 48, c_in)
+        w = jnp.asarray(rng.randn(27, c_in, c_out).astype(np.float32) * 0.1)
+
+        rbk = rb.lookup_neighbors(coords, valid, coords, valid, GRID)
+        out = subm_conv3d_gather(feats, rbk, w, valid)
+
+        # dense oracle
+        dense_in = _dense_of(feats, coords, valid)  # (8, 8, 8, C)
+        w_dense = np.asarray(w).reshape(3, 3, 3, c_in, c_out)
+        out_dense = jax.lax.conv_general_dilated(
+            jnp.asarray(dense_in)[None], jnp.asarray(w_dense),
+            window_strides=(1, 1, 1), padding=((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0]
+        got_dense = _dense_of(out, coords, valid)
+        active = _dense_of(jnp.ones_like(feats[:, :1]), coords, valid)[..., 0] > 0
+        # subm conv only outputs at active sites
+        assert np.allclose(got_dense[active], np.asarray(out_dense)[active],
+                           atol=1e-4)
+        assert np.allclose(got_dense[~active], 0.0)
+
+
+class TestStridedDownsample:
+    def test_output_sites(self):
+        coords = jnp.asarray([[0, 0, 0], [4, 4, 4], [-1, -1, -1]], jnp.int32)
+        valid = jnp.asarray([True, True, False])
+        out_c, out_v = rb.downsample_coords(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=16)
+        got = {tuple(c) for c in np.asarray(out_c)[np.asarray(out_v)]}
+        # input (0,0,0): o = floor((0+1-k)/2) exact for k=1 → 0.
+        # input (4,4,4): k=1 → 2 per dim. Neighboring o from k∈{...}: (i+1-k)%2==0
+        # → k=1 only (i odd+1=5... wait i=4: i+1=5, k∈{1}: (5-1)/2=2; k∈{3}? k<3.
+        # so single site each.
+        assert got == {(0, 0, 0), (2, 2, 2)}
+
+    def test_strided_conv_matches_dense(self):
+        rng = np.random.RandomState(3)
+        c_in, c_out = 4, 6
+        feats, coords, valid = _rand_sparse(rng, 25, 40, c_in)
+        w = jnp.asarray(rng.randn(27, c_in, c_out).astype(np.float32) * 0.1)
+        out_c, out_v = rb.downsample_coords(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=40)
+        rbk = rb.lookup_neighbors(out_c, out_v, coords, valid, GRID,
+                                  kernel_size=(3, 3, 3), stride=(2, 2, 2),
+                                  padding=(1, 1, 1))
+        out = subm_conv3d_gather(feats, rbk, w, out_v)
+
+        dense_in = _dense_of(feats, coords, valid)
+        w_dense = np.asarray(w).reshape(3, 3, 3, c_in, c_out)
+        out_dense = np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(dense_in)[None], jnp.asarray(w_dense),
+            window_strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0])
+        out_grid = rb.conv_out_grid(GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        got_dense = np.asarray(sparse_tensor_to_dense(out, out_c, out_v, out_grid))
+        active = np.asarray(sparse_tensor_to_dense(
+            jnp.ones_like(out[:, :1]), out_c, out_v, out_grid))[..., 0] != 0
+        assert active.sum() > 0
+        assert np.allclose(got_dense[active], out_dense[active], atol=1e-4)
+
+
+def test_backbone_shapes():
+    """VoxelBackBone8x end-to-end on a tiny grid."""
+    from crb_active_3ddet_tpu.models.backbones_3d.spconv_backbone import (
+        VoxelBackBone8x)
+    rng = np.random.RandomState(4)
+    grid_size = (32, 32, 40)  # nx, ny, nz
+    b, v, c = 2, 128, 4
+    coords = np.stack([rng.randint(0, 40, (b, v)), rng.randint(0, 32, (b, v)),
+                       rng.randint(0, 32, (b, v))], axis=-1).astype(np.int32)
+    batch = {
+        'voxel_features': jnp.asarray(rng.randn(b, v, c).astype(np.float32)),
+        'voxel_coords': jnp.asarray(coords),
+        'voxel_valid': jnp.ones((b, v), bool),
+    }
+    model = VoxelBackBone8x(model_cfg={}, input_channels=c,
+                            grid_size=grid_size)
+    variables = model.init(jax.random.PRNGKey(0), dict(batch), training=False)
+    out = model.apply(variables, dict(batch), training=False)
+    # z: 41→21→11→5→2 ; y/x: 32→16→8→4 (conv_out keeps H, W)
+    assert out['encoded_spconv_features'].shape == (2, 2, 4, 4, 128)
+    assert out['encoded_spconv_tensor_stride'] == 8
+    assert np.isfinite(np.asarray(out['encoded_spconv_features'])).all()
+    ms = out['multi_scale_3d_features']
+    assert ms['x_conv1']['features'].shape[-1] == 16
+    assert ms['x_conv4']['features'].shape[-1] == 64
