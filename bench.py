@@ -22,6 +22,8 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from crb_active_3ddet_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     from crb_active_3ddet_tpu.config import load_config, CfgNode
     from crb_active_3ddet_tpu.datasets import build_dataloader
     from crb_active_3ddet_tpu.models.detectors import build_detector

@@ -23,10 +23,12 @@ from .synthetic import SyntheticDataset
 
 def _registry():
     from .kitti.kitti_dataset import KittiDataset
+    from .waymo.waymo_dataset import WaymoDataset
     return {
         'DatasetTemplate': DatasetTemplate,
         'SyntheticDataset': SyntheticDataset,
         'KittiDataset': KittiDataset,
+        'WaymoDataset': WaymoDataset,
     }
 
 

@@ -49,10 +49,16 @@ class AnchorHeadCore:
             match_height=tgt_cfg.MATCH_HEIGHT)
         # flattened anchors in the (H, W, class·S·R) interleaved order — the
         # reference's torch.cat(self.anchors, dim=-3) (anchor_head_template:186)
+        # Stored as NUMPY: the core is cached across jit traces, and a jnp
+        # array created inside one trace is a tracer that must not leak into
+        # the next trace.
         cat = np.concatenate(self.anchors_list, axis=-3)
-        self.flat_anchors = jnp.asarray(
-            cat.reshape(-1, cat.shape[-1]).astype(np.float32))
-        self.total_anchors = self.flat_anchors.shape[0]
+        self._flat_anchors_np = cat.reshape(-1, cat.shape[-1]).astype(np.float32)
+        self.total_anchors = self._flat_anchors_np.shape[0]
+
+    @property
+    def flat_anchors(self):
+        return jnp.asarray(self._flat_anchors_np)
 
     def assign_targets(self, gt_boxes):
         return self.target_assigner.assign_targets(self.anchors_list, gt_boxes)
@@ -86,8 +92,13 @@ _CORE_CACHE: dict = {}
 def make_core(model_cfg, num_class, class_names, grid_size, point_cloud_range):
     """Memoized core construction (anchor grids are ~MBs of numpy; building
     them once per config keeps repeated jit traces cheap). Keyed on config
-    object identity — configs are effectively immutable after load."""
-    key = (id(model_cfg), num_class, tuple(class_names),
+    CONTENT — id()-keys collide after GC and returned stale cores."""
+    import json
+    try:
+        cfg_key = json.dumps(dict(model_cfg), sort_keys=True, default=str)
+    except TypeError:
+        cfg_key = repr(model_cfg)
+    key = (cfg_key, num_class, tuple(class_names),
            tuple(int(g) for g in grid_size),
            tuple(float(x) for x in point_cloud_range))
     if key not in _CORE_CACHE:

@@ -125,12 +125,23 @@ class Detector3D(nn.Module):
             self.model_cfg['DENSE_HEAD'], self.num_class, self.class_names,
             np.asarray(self.grid_size), self.point_cloud_range)
         loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
-        if 'point_loss' in batch_dict:
-            loss = loss + batch_dict['point_loss']
-            tb['point_loss'] = batch_dict['point_loss']
-        if 'rcnn_loss' in batch_dict:
-            loss = loss + batch_dict['rcnn_loss']
-            tb['rcnn_loss'] = batch_dict['rcnn_loss']
+        if 'point_cls_preds' in batch_dict and 'point_cls_labels' in batch_dict:
+            from ..point_heads.point_head_simple import get_point_loss
+            from ...config import to_cfg
+            ph_cfg = to_cfg(self.model_cfg['POINT_HEAD'])
+            point_loss = get_point_loss(
+                batch_dict, ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS, reduce=reduce)
+            loss = loss + point_loss
+            tb['point_loss'] = point_loss
+        if 'roi_targets' in batch_dict:
+            from ..roi_heads import roi_head_template as rht
+            from ...config import to_cfg
+            roi_cfg = to_cfg(self.model_cfg['ROI_HEAD'])
+            rcnn_loss, rcnn_tb = rht.get_rcnn_loss(
+                batch_dict['roi_targets'], roi_cfg.LOSS_CONFIG, reduce=reduce)
+            loss = loss + rcnn_loss
+            tb.update(rcnn_tb)
+            tb['rcnn_loss'] = rcnn_loss
         tb['loss'] = loss
         return loss, tb
 

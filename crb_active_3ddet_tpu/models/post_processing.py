@@ -25,16 +25,22 @@ from ..ops.points_in_boxes import box_point_density
 
 
 def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
-                       normalized=False, points=None, points_valid=None):
+                       normalized=False, points=None, points_valid=None,
+                       roi_labels=None, full_cls_scores=None):
     """Single frame. cls_preds: (A, num_class) logits; box_preds: (A, 7+).
 
     Returns fixed-shape dict: pred_boxes (P, 7), pred_scores (P,),
     pred_labels (P,), pred_logits (P, num_class), pred_valid (P,),
     and pred_box_unique_density (P,) when points are given.
+    For two-stage models pass roi_labels (class-agnostic rcnn scores carry
+    no class; parity: ``has_class_labels`` path, detector3d_template:332-337)
+    and full_cls_scores as the exported pred_logits.
     """
     scores = cls_preds if normalized else jax.nn.sigmoid(cls_preds)
     max_scores = scores.max(axis=-1)
-    labels = scores.argmax(axis=-1) + 1
+    labels = roi_labels if roi_labels is not None \
+        else scores.argmax(axis=-1) + 1
+    logits_src = full_cls_scores if full_cls_scores is not None else cls_preds
 
     nms_cfg = post_cfg.NMS_CONFIG
     score_thresh = post_cfg.get('SCORE_THRESH', None)
@@ -49,7 +55,7 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
         'pred_boxes': jnp.where(keep_valid[:, None], box_preds[keep_idx, :7], 0.0),
         'pred_scores': jnp.where(keep_valid, keep_scores, 0.0),
         'pred_labels': jnp.where(keep_valid, labels[keep_idx], 0),
-        'pred_logits': jnp.where(keep_valid[:, None], cls_preds[keep_idx], 0.0),
+        'pred_logits': jnp.where(keep_valid[:, None], logits_src[keep_idx], 0.0),
         'pred_valid': keep_valid,
     }
     if points is not None:
@@ -71,13 +77,23 @@ def post_processing(batch_dict, post_cfg, num_class):
     normalized = bool(batch_dict.get('cls_preds_normalized', False))
     points = batch_dict.get('points', None)
     points_valid = batch_dict.get('points_valid', None)
+    has_class_labels = bool(batch_dict.get('has_class_labels', False))
+    roi_labels = batch_dict.get('roi_labels', None) if has_class_labels else None
+    full_cls = batch_dict.get('full_cls_scores', None)
 
     fn = partial(post_process_frame, post_cfg=post_cfg, num_class=num_class,
                  normalized=normalized)
+    extra = {}
+    if roi_labels is not None:
+        extra['roi_labels'] = roi_labels
+    if full_cls is not None:
+        extra['full_cls_scores'] = full_cls
     if points is not None:
-        return jax.vmap(lambda c, b, p, pv: fn(c, b, points=p, points_valid=pv))(
-            cls_preds, box_preds, points, points_valid)
-    return jax.vmap(lambda c, b: fn(c, b))(cls_preds, box_preds)
+        extra['points'] = points
+        extra['points_valid'] = points_valid
+    keys = sorted(extra)
+    return jax.vmap(lambda c, b, *e: fn(c, b, **dict(zip(keys, e))))(
+        cls_preds, box_preds, *[extra[k] for k in keys])
 
 
 def gt_class_stats(points, points_valid, gt_boxes, num_classes: int):

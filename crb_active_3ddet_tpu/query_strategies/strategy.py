@@ -90,20 +90,37 @@ class Strategy:
             if mc_dropout and num_mc > 1:
                 # MC-dropout rounds: eval-mode forward with live dropout rngs
                 # (parity: SAMPLING_ROUND re-runs, pvrcnn_head.py:188-202)
-                rngs = jax.random.split(rng, num_mc)
-                outs = [model.apply(variables, batch, training=False,
-                                    rngs={'dropout': r}) for r in rngs]
-                out = outs[0]
-                mc_cls = jnp.stack([jax.nn.sigmoid(o['batch_cls_preds'])
-                                    for o in outs])   # (S, B, A, C)
-                mc_box = jnp.stack([o['batch_box_preds'] for o in outs])
-                out = dict(out)
-                out['mc_cls_mean'] = mc_cls.mean(0)
-                out['mc_cls_var'] = mc_cls.var(0)
-                out['mc_box_var'] = mc_box.var(0)
-                out['batch_cls_preds'] = (
-                    jax.scipy.special.logit(
-                        jnp.clip(out['mc_cls_mean'], 1e-6, 1 - 1e-6)))
+                first = model.apply(variables, batch, training=False,
+                                    rngs={'dropout': rng})
+                if 'rcnn_cls' in first and first['rcnn_cls'].ndim == 3:
+                    # two-stage model: MC rounds already ran inside the roi
+                    # head — rcnn_cls/(S, B·R, 1)
+                    out = dict(first)
+                    mc_cls = jax.nn.sigmoid(out['rcnn_cls'])
+                    b = out['batch_cls_preds'].shape[0]
+                    out['mc_cls_mean'] = mc_cls.mean(0).reshape(b, -1, 1)
+                    out['mc_cls_var'] = mc_cls.var(0).reshape(b, -1, 1)
+                    out['mc_box_var'] = out['rcnn_reg'].var(0).reshape(
+                        b, -1, out['rcnn_reg'].shape[-1])
+                    # MC-mean rcnn scores (detector3d_template.py:208-210)
+                    out['batch_rcnn_cls'] = out['mc_cls_mean']
+                    out['batch_rcnn_reg'] = out['rcnn_reg'].mean(0).reshape(
+                        b, -1, out['rcnn_reg'].shape[-1])
+                else:
+                    rngs = jax.random.split(rng, num_mc)
+                    outs = [first] + [
+                        model.apply(variables, batch, training=False,
+                                    rngs={'dropout': r}) for r in rngs[1:]]
+                    out = dict(first)
+                    mc_cls = jnp.stack([jax.nn.sigmoid(o['batch_cls_preds'])
+                                        for o in outs])   # (S, B, A, C)
+                    mc_box = jnp.stack([o['batch_box_preds'] for o in outs])
+                    out['mc_cls_mean'] = mc_cls.mean(0)
+                    out['mc_cls_var'] = mc_cls.var(0)
+                    out['mc_box_var'] = mc_box.var(0)
+                    out['batch_cls_preds'] = (
+                        jax.scipy.special.logit(
+                            jnp.clip(out['mc_cls_mean'], 1e-6, 1 - 1e-6)))
             else:
                 out = model.apply(variables, batch, training=False)
 

@@ -73,6 +73,85 @@ def select_active_labels(model, variables, labelled_loader, unlabelled_loader,
     return labelled_loader, unlabelled_loader, selected_frames
 
 
+def _loss_net_mask(params, invert=False):
+    """Pytree mask selecting (or excluding) the roi_head loss_net subtree
+    (parity: LOSS_NET_SKIP param freeze, optimization/__init__.py:13-15)."""
+    import jax
+
+    def mark(path, _):
+        in_loss_net = any(getattr(p, 'key', None) == 'loss_net' for p in path)
+        return in_loss_net != invert
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def make_lossnet_train_step(model, optimizer, dataset):
+    """Jitted LossNet-only training step (parity:
+    train_active_utils.py:242-296 — margin-ranking loss of predicted vs true
+    per-sample detector losses, only loss-net params updated)."""
+    import optax
+    from ..utils import loss_utils
+
+    voxel_cfg = dataset.voxel_cfg
+    grid_size = tuple(int(g) for g in dataset.grid_size)
+    pcr = tuple(float(x) for x in dataset.point_cloud_range)
+    vs = tuple(float(v) for v in dataset.voxel_size)
+
+    import jax
+
+    @jax.jit
+    def step(state: train_rt.TrainState, host_batch, rng):
+        batch = train_rt.prepare_device_batch(host_batch, voxel_cfg,
+                                              grid_size, pcr, vs)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, training=True, mutable=['batch_stats'],
+                rngs={'dropout': rng})
+            per_sample, _ = model.compute_loss(out, reduce=False)
+            lp = out['loss_predictions_train']
+            ll = loss_utils.loss_pred_loss(
+                lp, jax.lax.stop_gradient(per_sample))
+            return ll, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # zero all non-loss-net grads
+        mask = _loss_net_mask(grads)
+        grads = jax.tree.map(lambda g, m: g * m, grads,
+                             jax.tree.map(float, mask))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params,
+                             batch_stats=mutated['batch_stats'],
+                             opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    return step
+
+
+def train_loss_net(state, model, labelled_loader, cfg, logger, rng):
+    """LLAL pre-selection LossNet fitting phase."""
+    epochs = int(cfg.MODEL.ROI_HEAD.get('LOSS_NET_TRAIN_EPOCH', 1))
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION,
+                                   total_steps=max(len(labelled_loader), 1)
+                                   * epochs)
+    step = make_lossnet_train_step(model, optimizer, labelled_loader.dataset)
+    state = state.replace(opt_state=optimizer.init(state.params))
+    import jax
+    for e in range(epochs):
+        losses = []
+        for batch in labelled_loader:
+            rng, sub = jax.random.split(rng)
+            state, loss = step(state, train_rt.host_to_device_batch(batch),
+                               sub)
+            losses.append(float(loss))
+        logger.info('[llal] loss-net epoch %d loss %.4f', e,
+                    float(np.mean(losses)) if losses else float('nan'))
+    return state, rng
+
+
 def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
                        workers=4, rank=0):
     """The AL outer loop (parity: train_active_utils.train_model_active)."""
@@ -140,6 +219,11 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
     for round_idx in range(num_rounds):
         logger.info('=== selection round %d/%d (epoch %d) ===',
                     round_idx + 1, num_rounds, cur_epoch)
+        if (active_cfg.METHOD == 'llal'
+                and cfg.MODEL.get('ROI_HEAD', {}).get('LOSS_NET', None)):
+            # fit the LossNet before querying (train_active_utils.py:242-296)
+            state, rng = train_loss_net(state, model, labelled_loader, cfg,
+                                        logger, rng)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         labelled_loader, unlabelled_loader, selected = select_active_labels(
             model, variables, labelled_loader, unlabelled_loader, rank,

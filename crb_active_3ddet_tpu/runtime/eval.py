@@ -42,8 +42,9 @@ def make_eval_step(model, dataset, post_cfg, num_class):
 
 
 def eval_one_epoch(variables, eval_step, dataset, loader, class_names,
-                   logger=None, result_dir=None):
-    """Returns (ap_result_str, ap_dict, recall_dict)."""
+                   logger=None, result_dir=None, save_result_pkl=True):
+    """Returns (ap_result_str, ap_dict, recall_dict). Dumps result.pkl into
+    result_dir (parity: eval_utils.py writes det_annos for visualize.py)."""
     det_annos = []
     recall_acc = {}
     num_frames = 0
@@ -68,6 +69,12 @@ def eval_one_epoch(variables, eval_step, dataset, loader, class_names,
         for k, v in sorted(recall_acc.items()):
             if k != 'gt':
                 logger.info('recall %s: %.4f', k, v / gt_cnt)
+    if result_dir is not None and save_result_pkl:
+        import pickle
+        from pathlib import Path
+        Path(result_dir).mkdir(parents=True, exist_ok=True)
+        with open(Path(result_dir) / 'result.pkl', 'wb') as f:
+            pickle.dump(det_annos, f)
     ap_result_str, ap_dict = dataset.evaluation(det_annos, class_names)
     ap_dict = dict(ap_dict or {})
     ap_dict['sec_per_example'] = sec_per_example

@@ -111,6 +111,20 @@ def create_logger(log_file=None, rank: int = 0, log_level=logging.INFO):
     return logger
 
 
+def enable_compilation_cache(cache_dir: str = '/root/repo/.jax_cache'):
+    """Persistent XLA compilation cache — compiles via the tunneled TPU
+    service take 10-20 min, so caching across CLI invocations is essential
+    on this setup."""
+    import os
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except Exception:
+        pass
+
+
 def set_random_seed(seed: int = 666):
     """Seed host-side RNGs (numpy/python). Device randomness is threaded via
     explicit ``jax.random`` keys; this mirrors the reference's fixed seeds

@@ -76,6 +76,7 @@ def main():
     log_file = eval_dir / ('log_eval_%s.txt'
                            % datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
     logger = common_utils.create_logger(log_file, rank=0)
+    common_utils.enable_compilation_cache()
     logger.info('jax devices: %s', jax.devices())
 
     test_set, test_loader, _ = build_dataloader(

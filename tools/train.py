@@ -60,6 +60,7 @@ def main():
                              % datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
     logger = common_utils.create_logger(log_file, rank=0)
     logger.info('**********************Start logging**********************')
+    common_utils.enable_compilation_cache()
     logger.info('jax devices: %s', jax.devices())
     log_config_to_file(cfg, logger=logger)
 
