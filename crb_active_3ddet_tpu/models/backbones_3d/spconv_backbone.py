@@ -66,7 +66,7 @@ class SparseConvLayer(nn.Module):
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, st, training: bool = False):
+    def __call__(self, st, training: bool = False, rulebook=None):
         feats, coords, valid = st['features'], st['coords'], st['valid']
         b, v, cin = feats.shape
         k = int(np.prod(self.kernel_size))
@@ -76,10 +76,13 @@ class SparseConvLayer(nn.Module):
         if self.subm:
             out_coords, out_valid = coords, valid
             out_grid = self.grid
-            rulebook = jax.vmap(partial(
-                rb.lookup_neighbors, grid=self.grid,
-                kernel_size=self.kernel_size, stride=(1, 1, 1),
-                padding=self.padding))(out_coords, out_valid, coords, valid)
+            if rulebook is None:
+                # subm rulebooks are shared per stage (same voxel set) —
+                # callers precompute and pass them in; this is the fallback
+                rulebook = jax.vmap(partial(
+                    rb.lookup_neighbors, grid=self.grid,
+                    kernel_size=self.kernel_size, stride=(1, 1, 1),
+                    padding=self.padding))(out_coords, out_valid, coords, valid)
         else:
             out_coords, out_valid = jax.vmap(partial(
                 rb.downsample_coords, grid=self.grid,
@@ -120,11 +123,13 @@ class SparseBasicBlock(nn.Module):
     grid: tuple
 
     @nn.compact
-    def __call__(self, st, training: bool = False):
+    def __call__(self, st, training: bool = False, rulebook=None):
         identity = st['features']
-        out = SparseConvLayer(self.channels, self.grid, subm=True)(st, training)
+        out = SparseConvLayer(self.channels, self.grid, subm=True)(
+            st, training, rulebook=rulebook)
         out2 = SparseConvLayer(self.channels, self.grid, subm=True,
-                               use_relu=False)(out, training)
+                               use_relu=False)(out, training,
+                                               rulebook=rulebook)
         feats = nn.relu(out2['features'] + identity)
         feats = jnp.where(st['valid'][..., None], feats, 0.0)
         return {**out2, 'features': feats}
@@ -147,29 +152,39 @@ class VoxelBackBone8x(nn.Module):
               'valid': batch_dict['voxel_valid'], 'grid': grid0}
         cap = st['features'].shape[1]
 
-        def stage(st, ch, n_blocks, training):
+        def subm_rulebook(st):
+            # one shared 3x3x3 submanifold rulebook per voxel set
+            return jax.vmap(partial(
+                rb.lookup_neighbors, grid=st['grid'], kernel_size=(3, 3, 3),
+                stride=(1, 1, 1), padding=(1, 1, 1)))(
+                st['coords'], st['valid'], st['coords'], st['valid'])
+
+        def stage(st, ch, n_blocks, training, rulebook):
             for _ in range(n_blocks):
                 if self.residual:
-                    st = SparseBasicBlock(ch, st['grid'])(st, training)
+                    st = SparseBasicBlock(ch, st['grid'])(
+                        st, training, rulebook=rulebook)
                 else:
                     st = SparseConvLayer(ch, st['grid'], subm=True)(
-                        st, training)
+                        st, training, rulebook=rulebook)
             return st
 
-        st = SparseConvLayer(16, grid0, subm=True)(st, training)   # conv_input
-        st = stage(st, 16, 1, training)                            # conv1
+        rbk0 = subm_rulebook(st)
+        st = SparseConvLayer(16, grid0, subm=True)(st, training,
+                                                   rulebook=rbk0)  # conv_input
+        st = stage(st, 16, 1, training, rbk0)                      # conv1
         x_conv1 = st
         st = SparseConvLayer(32, st['grid'], subm=False, stride=(2, 2, 2),
                              max_out=cap)(st, training)            # conv2 down
-        st = stage(st, 32, 2, training)
+        st = stage(st, 32, 2, training, subm_rulebook(st))
         x_conv2 = st
         st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
                              max_out=cap)(st, training)            # conv3 down
-        st = stage(st, 64, 2, training)
+        st = stage(st, 64, 2, training, subm_rulebook(st))
         x_conv3 = st
         st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
                              padding=(0, 1, 1), max_out=cap)(st, training)
-        st = stage(st, 64, 2, training)                            # conv4
+        st = stage(st, 64, 2, training, subm_rulebook(st))         # conv4
         x_conv4 = st
         st = SparseConvLayer(128, st['grid'], subm=False,
                              kernel_size=(3, 1, 1), stride=(2, 1, 1),

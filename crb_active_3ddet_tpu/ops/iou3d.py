@@ -57,18 +57,17 @@ def _clip_halfplane_soa(px, py, n, e1x, e1y, e2x, e2y):
     emit_v = inside & is_valid
     emit_x = (inside != inside_n) & is_valid
 
-    # interleave [v0, x0, v1, x1, ...] → (2·CAP, P), then compact via
-    # one-hot position matmul (all dims small except minor P)
+    # interleave [v0, x0, v1, x1, ...] → (2·CAP, P), then compact by a
+    # 16-row key sort (stable; emitted vertices get their output slot as
+    # key, dropped ones sort to the bottom) — no (2CAP, CAP, P) one-hot
+    # intermediate, which at NMS sizes spiked ~GBs of HBM
     cand_x = jnp.stack([px, xx], axis=1).reshape(2 * _CAP, -1)
     cand_y = jnp.stack([py, xy], axis=1).reshape(2 * _CAP, -1)
     flags = jnp.stack([emit_v, emit_x], axis=1).reshape(2 * _CAP, -1)
     pos = jnp.cumsum(flags, axis=0) - 1                   # (2CAP, P)
-    onehot = (pos[:, None, :] == jnp.arange(_CAP)[None, :, None]) \
-        & flags[:, None, :]                               # (2CAP, CAP, P)
-    oh = onehot.astype(px.dtype)
-    new_px = (oh * cand_x[:, None, :]).sum(axis=0)
-    new_py = (oh * cand_y[:, None, :]).sum(axis=0)
-    return new_px, new_py, flags.sum(axis=0)
+    key = jnp.where(flags, pos, 2 * _CAP).astype(jnp.int32)
+    _, sx, sy = jax.lax.sort((key, cand_x, cand_y), dimension=0, num_keys=1)
+    return sx[:_CAP], sy[:_CAP], flags.sum(axis=0)
 
 
 def _poly_area_soa(px, py, n):

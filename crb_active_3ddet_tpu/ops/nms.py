@@ -4,11 +4,13 @@ with ``THREADS_PER_BLOCK_NMS=64`` bitmasks; Python surface
 ``iou3d_nms_utils.nms_gpu``/``nms_normal_gpu`` and
 ``model_nms_utils.class_agnostic_nms``/``multi_classes_nms``).
 
-The CUDA version builds 64-bit suppression bitmasks and walks them on the
-host, producing a variable-length keep list.  Here the keep list is a
-fixed-size (post_max,) index buffer + validity count: we compute the (K, K)
-pairwise IoU matrix once (one big fused XLA kernel, MXU-friendly shapes) and
-run the greedy suppression scan as a ``lax.fori_loop`` of vector ops.
+Design: exact greedy NMS as a ``lax.while_loop`` that each iteration picks
+the highest-scoring survivor and suppresses via ONE vectorized rotated-IoU
+row computed on the fly.  This is the canonical TPU shape: no O(K²) IoU
+matrix in HBM, iterations bounded by the number of kept boxes (early exit),
+all per-iteration work is a K-wide VPU sweep.  (A first implementation used
+a K-step suppression scan over a precomputed K×K matrix — 4096 sequential
+steps made eval ~17 s/frame and tripped the TPU worker watchdog.)
 """
 
 from __future__ import annotations
@@ -18,24 +20,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .iou3d import boxes_iou_bev, boxes3d_nearest_bev_iou
+from .iou3d import _corners_xy, _overlap_pairs, boxes3d_nearest_bev_iou
 
 _NEG_INF = -1e10
 
 
-def _greedy_suppress(iou, valid):
-    """Greedy NMS scan. iou: (K, K) of score-sorted boxes; valid: (K,) bool.
-    Returns keep mask (K,)."""
-    k = iou.shape[0]
-    tri = jnp.triu(jnp.ones((k, k), bool), 1)  # j > i
-
-    def body_fn(i, suppressed):
-        alive_i = jnp.logical_not(suppressed[i]) & valid[i]
-        new_sup = suppressed | (alive_i & iou[i] & tri[i])
-        return new_sup
-
-    suppressed = jax.lax.fori_loop(0, k, body_fn, jnp.zeros((k,), bool))
-    return jnp.logical_not(suppressed) & valid
+def _iou_row_bev(boxes, areas, i):
+    """Rotated BEV IoU of box i vs all boxes. boxes: (K, 7); returns (K,)."""
+    cx, cy = _corners_xy(boxes)                      # (K, 4)
+    ci_x = jax.lax.dynamic_slice_in_dim(cx, i, 1, 0)  # (1, 4)
+    ci_y = jax.lax.dynamic_slice_in_dim(cy, i, 1, 0)
+    k = boxes.shape[0]
+    ax = jnp.broadcast_to(ci_x, (k, 4)).T            # (4, K)
+    ay = jnp.broadcast_to(ci_y, (k, 4)).T
+    overlap = _overlap_pairs(ax, ay, cx.T, cy.T)     # (K,)
+    area_i = jax.lax.dynamic_slice_in_dim(areas, i, 1, 0)[0]
+    return overlap / jnp.clip(area_i + areas - overlap, 1e-8)
 
 
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'use_bev_iou'))
@@ -48,7 +48,7 @@ def rotated_nms(boxes, scores, iou_thresh: float, pre_max: int, post_max: int,
             score_thresh masking).
         scores: (N,) — -inf rows are treated as invalid padding.
         iou_thresh: suppression threshold (rotated BEV IoU, like the CUDA
-            ``nms_gpu``; ``iou3d_nms_kernel.cu`` computes BEV overlap IoU).
+            ``nms_gpu``).
         pre_max / post_max: NMS_PRE_MAXSIZE / NMS_POST_MAXSIZE — static.
 
     Returns:
@@ -62,31 +62,38 @@ def rotated_nms(boxes, scores, iou_thresh: float, pre_max: int, post_max: int,
     k = min(pre_max, n)
     top_scores, order = jax.lax.top_k(scores, k)
     top_boxes = boxes[order]
-    valid = top_scores > _NEG_INF / 2
+    areas = top_boxes[:, 3] * top_boxes[:, 4]
 
-    if use_bev_iou:
-        # row-chunked rotated IoU: bounds the polygon-clip workspace to
-        # (chunk, K) pairs at a time; only the thresholded bool matrix
-        # persists (a full (K, K) f32 clip workspace at K=4096 would be
-        # hundreds of GB)
-        chunk = min(256, k)
-        pad = (-k) % chunk
-        rows = jnp.pad(top_boxes, ((0, pad), (0, 0))).reshape(-1, chunk, 7)
-        iou_hit = jax.lax.map(
-            lambda blk: boxes_iou_bev(blk, top_boxes) > iou_thresh,
-            rows).reshape(-1, k)[:k]
-    else:
-        iou_hit = boxes3d_nearest_bev_iou(top_boxes, top_boxes) > iou_thresh
-    keep = _greedy_suppress(iou_hit, valid)
+    if not use_bev_iou:
+        aabb_iou = boxes3d_nearest_bev_iou(top_boxes, top_boxes)
 
-    # compact kept (score-sorted already) into fixed (post_max,) buffer
-    rank = jnp.cumsum(keep) - 1
-    rank = jnp.where(keep & (rank < post_max), rank, post_max)
-    keep_idx = jnp.zeros((post_max,), jnp.int32).at[rank].set(
-        order.astype(jnp.int32), mode='drop')
-    keep_scores = jnp.full((post_max,), _NEG_INF, scores.dtype).at[rank].set(
-        top_scores, mode='drop')
-    keep_valid = jnp.zeros((post_max,), bool).at[rank].set(True, mode='drop')
+    def iou_row(i):
+        if use_bev_iou:
+            return _iou_row_bev(top_boxes, areas, i)
+        return jax.lax.dynamic_slice_in_dim(aabb_iou, i, 1, 0)[0]
+
+    def cond(state):
+        count, live_scores, *_ = state
+        return (count < post_max) & (live_scores.max() > _NEG_INF / 2)
+
+    def body(state):
+        count, live_scores, keep_idx, keep_valid, keep_scores = state
+        i = jnp.argmax(live_scores).astype(jnp.int32)
+        row = iou_row(i)
+        suppress = row > iou_thresh
+        new_scores = jnp.where(suppress, _NEG_INF, live_scores)
+        new_scores = new_scores.at[i].set(_NEG_INF)
+        keep_idx = keep_idx.at[count].set(order[i].astype(jnp.int32))
+        keep_valid = keep_valid.at[count].set(True)
+        keep_scores = keep_scores.at[count].set(live_scores[i])
+        return count + 1, new_scores, keep_idx, keep_valid, keep_scores
+
+    init = (jnp.asarray(0, jnp.int32), top_scores,
+            jnp.zeros((post_max,), jnp.int32),
+            jnp.zeros((post_max,), bool),
+            jnp.full((post_max,), _NEG_INF, scores.dtype))
+    _, _, keep_idx, keep_valid, keep_scores = jax.lax.while_loop(
+        cond, body, init)
     return keep_idx, keep_valid, keep_scores
 
 
@@ -99,11 +106,7 @@ def nms_normal(boxes, scores, iou_thresh: float, pre_max: int, post_max: int):
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
     """Parity with ``model_nms_utils.class_agnostic_nms`` (`model_nms_utils.py:6-37`)
-    under fixed shapes.
-
-    Returns (selected_idx, selected_valid, selected_scores) each of length
-    NMS_POST_MAXSIZE.
-    """
+    under fixed shapes."""
     return rotated_nms(
         box_preds, box_scores,
         iou_thresh=float(nms_config.NMS_THRESH),
@@ -114,12 +117,8 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
 
 
 def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
-    """Per-class NMS (parity: ``model_nms_utils.multi_classes_nms:40-67``).
-
-    cls_scores: (N, num_classes); box_preds: (N, 7) or (N, num_classes, 7).
-    Returns per-class fixed-size results stacked:
-        scores (C, post), labels (C, post), boxes (C, post, 7), valid (C, post).
-    """
+    """Per-class NMS (parity: ``model_nms_utils.multi_classes_nms:40-67``)."""
+    import jax.numpy as jnp
     num_classes = cls_scores.shape[1]
     post = int(nms_config.NMS_POST_MAXSIZE)
     out_scores, out_boxes, out_valid, out_labels = [], [], [], []

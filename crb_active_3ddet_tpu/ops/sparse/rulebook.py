@@ -53,7 +53,38 @@ def _kernel_offsets(kernel_size):
     return jnp.stack([oz.reshape(-1), oy.reshape(-1), ox.reshape(-1)], axis=1)
 
 
-@partial(jax.jit, static_argnames=('grid', 'kernel_size'))
+# grids up to this many cells use a dense int32 id table (one scatter + one
+# gather per rulebook — ~10x faster than searchsorted's log-V gather chain on
+# TPU); larger grids fall back to the sorted-hash binary search
+_DENSE_TABLE_MAX_CELLS = 128_000_000
+
+
+def _neighbor_hashes(out_coords, out_valid, grid, kernel_size, stride,
+                     padding):
+    offsets = _kernel_offsets(kernel_size)  # (K, 3)
+    stride_a = jnp.asarray(stride)
+    pad_a = jnp.asarray(padding)
+    nbr = (out_coords[:, None, :] * stride_a[None, None, :]
+           - pad_a[None, None, :] + offsets[None, :, :])
+    nz, ny, nx = grid
+    h = nbr[..., 0] * (ny * nx) + nbr[..., 1] * nx + nbr[..., 2]
+    in_bounds = ((nbr >= 0).all(-1)
+                 & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx))
+    return jnp.where(in_bounds & out_valid[:, None], h, _INVALID).astype(jnp.int32)
+
+
+def build_dense_table(in_coords, in_valid, grid):
+    """Dense (prod(grid)+1,) int32 cell→voxel-row table (−1 empty)."""
+    nz, ny, nx = grid
+    num_cells = nz * ny * nx
+    h = hash_coords(in_coords, in_valid, grid)
+    pos = jnp.where(h == _INVALID, num_cells, h)
+    table = jnp.full((num_cells + 1,), -1, jnp.int32)
+    v = in_coords.shape[0]
+    return table.at[pos].set(jnp.arange(v, dtype=jnp.int32), mode='drop')
+
+
+@partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding'))
 def lookup_neighbors(out_coords, out_valid, in_coords, in_valid, grid,
                      kernel_size=(3, 3, 3), stride=(1, 1, 1),
                      padding=(1, 1, 1)):
@@ -63,18 +94,14 @@ def lookup_neighbors(out_coords, out_valid, in_coords, in_valid, grid,
     −1 where no active input exists. For submanifold conv pass
     out_coords=in_coords, stride 1, pad (k−1)/2.
     """
-    sorted_h, perm = build_hash_table(in_coords, in_valid, grid)
-    offsets = _kernel_offsets(kernel_size)  # (K, 3)
-    stride_a = jnp.asarray(stride)
-    pad_a = jnp.asarray(padding)
-    # (V, K, 3) input coords feeding each output site
-    nbr = (out_coords[:, None, :] * stride_a[None, None, :]
-           - pad_a[None, None, :] + offsets[None, :, :])
+    h = _neighbor_hashes(out_coords, out_valid, grid, kernel_size, stride,
+                         padding)
     nz, ny, nx = grid
-    h = nbr[..., 0] * (ny * nx) + nbr[..., 1] * nx + nbr[..., 2]
-    in_bounds = ((nbr >= 0).all(-1)
-                 & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx))
-    h = jnp.where(in_bounds & out_valid[:, None], h, _INVALID).astype(jnp.int32)
+    if nz * ny * nx <= _DENSE_TABLE_MAX_CELLS:
+        table = build_dense_table(in_coords, in_valid, grid)
+        safe = jnp.where(h == _INVALID, nz * ny * nx, h)
+        return table[safe]
+    sorted_h, perm = build_hash_table(in_coords, in_valid, grid)
     return lookup(sorted_h, perm, h)
 
 
