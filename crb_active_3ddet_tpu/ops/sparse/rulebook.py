@@ -87,18 +87,21 @@ def build_dense_table(in_coords, in_valid, grid):
 @partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding'))
 def lookup_neighbors(out_coords, out_valid, in_coords, in_valid, grid,
                      kernel_size=(3, 3, 3), stride=(1, 1, 1),
-                     padding=(1, 1, 1)):
+                     padding=(1, 1, 1), table=None):
     """Rulebook: for each output site and kernel offset, the input index.
 
     input site = out*stride − pad + offset.  Returns (V_out, K³) int32 with
     −1 where no active input exists. For submanifold conv pass
-    out_coords=in_coords, stride 1, pad (k−1)/2.
+    out_coords=in_coords, stride 1, pad (k−1)/2.  Pass a prebuilt dense
+    ``table`` (build_dense_table) to amortize it across rulebooks that share
+    the same input voxel set.
     """
     h = _neighbor_hashes(out_coords, out_valid, grid, kernel_size, stride,
                          padding)
     nz, ny, nx = grid
-    if nz * ny * nx <= _DENSE_TABLE_MAX_CELLS:
-        table = build_dense_table(in_coords, in_valid, grid)
+    if table is not None or nz * ny * nx <= _DENSE_TABLE_MAX_CELLS:
+        if table is None:
+            table = build_dense_table(in_coords, in_valid, grid)
         safe = jnp.where(h == _INVALID, nz * ny * nx, h)
         return table[safe]
     sorted_h, perm = build_hash_table(in_coords, in_valid, grid)
@@ -118,8 +121,10 @@ def downsample_coords(in_coords, in_valid, grid, kernel_size, stride, padding,
     """Active output sites of a strided sparse conv, capped at max_out.
 
     An output site o is active iff some active input i satisfies
-    i = o·s − p + k for k ∈ [0, K).  Candidates per input:
-    o = floor((i + p − k)/s) for the k making the division exact.
+    i = o·s − p + k for k ∈ [0, K).  Only k ≡ (i+p) mod s divide exactly, so
+    each dim has at most ceil(K/s) candidates (2 for k3s2) — we enumerate
+    exactly those instead of all K³ offsets (27→8 for the k3s2 stages, a
+    3.4× cut in the dedup sort size).
     Dedup via sort + first-occurrence scatter (same trick as the voxelizer).
 
     Returns (out_coords (max_out, 3), out_valid (max_out,)); the static
@@ -130,17 +135,22 @@ def downsample_coords(in_coords, in_valid, grid, kernel_size, stride, padding,
     pd = padding
     out_grid = conv_out_grid(grid, ks, st, pd)
 
-    # candidate offsets: all k per dim; invalid combos masked by exactness
-    offs = _kernel_offsets(ks)  # (K, 3)
-    num = (in_coords[:, None, :] + jnp.asarray(pd)[None, None, :]
-           - offs[None, :, :])  # (V, K, 3)
+    # per-dim candidate counts: k = ((i+p) mod s) + s·b, b < ceil(K/s)
+    n_cand = [-(-k // s) for k, s in zip(ks, st)]
+    bz, by, bx = jnp.meshgrid(jnp.arange(n_cand[0]), jnp.arange(n_cand[1]),
+                              jnp.arange(n_cand[2]), indexing='ij')
+    b_offs = jnp.stack([bz.reshape(-1), by.reshape(-1), bx.reshape(-1)],
+                       axis=1)                      # (C, 3)
+    ip = in_coords + jnp.asarray(pd)[None, :]        # (V, 3)
     st_a = jnp.asarray(st)[None, None, :]
-    exact = (num % st_a == 0).all(-1)
-    o = num // st_a
+    k_base = (ip % jnp.asarray(st)[None, :])         # (V, 3)
+    k_cand = k_base[:, None, :] + b_offs[None, :, :] * st_a[0]  # (V, C, 3)
+    k_ok = (k_cand < jnp.asarray(ks)[None, None, :]).all(-1)
+    o = (ip[:, None, :] - k_cand) // st_a            # exact by construction
     noz, noy, nox = out_grid
     in_bounds = ((o >= 0).all(-1)
                  & (o[..., 0] < noz) & (o[..., 1] < noy) & (o[..., 2] < nox))
-    ok = exact & in_bounds & in_valid[:, None]
+    ok = k_ok & in_bounds & in_valid[:, None]
 
     h = (o[..., 0] * (noy * nox) + o[..., 1] * nox + o[..., 2])
     h = jnp.where(ok, h, _INVALID).astype(jnp.int32).reshape(-1)
