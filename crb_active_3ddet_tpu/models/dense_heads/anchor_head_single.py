@@ -262,8 +262,18 @@ def get_loss(batch_dict, core: AnchorHeadCore, reduce=True):
 
 
 def build_dense_head(model_cfg, input_channels, num_class, class_names,
-                     grid_size, point_cloud_range, predict_boxes_when_training=True):
+                     grid_size, point_cloud_range, predict_boxes_when_training=True,
+                     voxel_size=None):
     name = model_cfg['NAME']
+    if name == 'CenterHead':
+        from .center_head import CenterHead
+        return CenterHead(
+            model_cfg=model_cfg, input_channels=input_channels,
+            num_class=num_class, class_names=tuple(class_names),
+            grid_size=tuple(int(g) for g in grid_size),
+            point_cloud_range=tuple(float(x) for x in point_cloud_range),
+            voxel_size=tuple(float(v) for v in (voxel_size or (1, 1, 1))),
+            predict_boxes_when_training=predict_boxes_when_training)
     if name == 'AnchorHeadSingle':
         return AnchorHeadSingle(
             model_cfg=model_cfg, input_channels=input_channels,

@@ -75,7 +75,8 @@ class Detector3D(nn.Module):
                 num_class=self.num_class, class_names=self.class_names,
                 grid_size=self.grid_size,
                 point_cloud_range=self.point_cloud_range,
-                predict_boxes_when_training=cfg.get('ROI_HEAD', None) is not None)
+                predict_boxes_when_training=cfg.get('ROI_HEAD', None) is not None,
+                voxel_size=self.voxel_size)
             modules.append('dense_head')
 
         if cfg.get('POINT_HEAD', None) is not None:
@@ -121,10 +122,17 @@ class Detector3D(nn.Module):
         """Training loss. Parity: the detectors' ``get_training_loss``
         (``pointpillar.py:26-34``, ``second_net.py:26-34``) — rpn loss from
         the anchor head (+ point/rcnn losses for two-stage models)."""
-        core = ahs.make_core(
-            self.model_cfg['DENSE_HEAD'], self.num_class, self.class_names,
-            np.asarray(self.grid_size), self.point_cloud_range)
-        loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
+        from ...config import to_cfg as _to_cfg
+        dh_cfg = _to_cfg(self.model_cfg['DENSE_HEAD'])
+        if dh_cfg['NAME'] == 'CenterHead':
+            from ..dense_heads.center_head import get_center_loss
+            loss, tb = get_center_loss(batch_dict, dh_cfg.LOSS_CONFIG,
+                                       reduce=reduce)
+        else:
+            core = ahs.make_core(
+                self.model_cfg['DENSE_HEAD'], self.num_class, self.class_names,
+                np.asarray(self.grid_size), self.point_cloud_range)
+            loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
         if 'point_cls_preds' in batch_dict and 'point_cls_labels' in batch_dict:
             from ..point_heads.point_head_simple import get_point_loss
             from ...config import to_cfg
@@ -148,7 +156,7 @@ class Detector3D(nn.Module):
 
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
-    'PointPillar', 'SECONDNet', 'PVRCNN',
+    'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint',
 }
 
 

@@ -1,0 +1,84 @@
+"""Flagship path: PV-RCNN + CRB acquisition (roi-head grad embeddings)."""
+
+import numpy as np
+import jax
+import pytest
+
+from crb_active_3ddet_tpu.config import CfgNode
+from crb_active_3ddet_tpu.datasets import build_active_dataloader
+from crb_active_3ddet_tpu.models.detectors import build_detector
+from crb_active_3ddet_tpu.query_strategies import build_strategy
+from crb_active_3ddet_tpu.runtime import train as train_rt
+from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
+
+from test_train_loop import tiny_data_cfg
+from test_pvrcnn_model import PVRCNN_CFG
+
+
+def make_cfg():
+    data_cfg = tiny_data_cfg(training_scenes=10)
+    data_cfg['DATA_PROCESSOR'][2]['VOXEL_SIZE'] = [0.4, 0.4, 0.1]
+    data_cfg['DATA_PROCESSOR'][2]['MAX_NUMBER_OF_VOXELS'] = {
+        'train': 256, 'test': 256}
+    data_cfg['DATA_PROCESSOR'][2]['MAX_POINTS_PER_VOXEL'] = 5
+    return CfgNode({
+        'CLASS_NAMES': ['Car'],
+        'DATA_CONFIG': data_cfg,
+        'MODEL': PVRCNN_CFG,
+        'OPTIMIZATION': {'OPTIMIZER': 'adam_onecycle', 'LR': 0.01,
+                         'WEIGHT_DECAY': 0.01, 'PCT_START': 0.4,
+                         'DIV_FACTOR': 10, 'GRAD_NORM_CLIP': 10,
+                         'BATCH_SIZE_PER_GPU': 2, 'NUM_EPOCHS': 1},
+        'ACTIVE_TRAIN': {
+            'METHOD': 'crb', 'AGGREGATION': 'mean',
+            'PRE_TRAIN_SAMPLE_NUMS': 4, 'PRE_TRAIN_EPOCH_NUMS': 1,
+            'TRAIN_RESUME': False, 'SELECT_NUMS': 2,
+            'SELECT_LABEL_EPOCH_INTERVAL': 1, 'TOTAL_BUDGET_NUMS': 2,
+            'ACTIVE_CONFIG': {'K1': 2, 'K2': 1, 'BANDWDITH': 5,
+                              'CLUSTERING': 'kmeans++'}},
+    })
+
+
+def test_pvrcnn_crb_query(tmp_path):
+    cfg = make_cfg()
+    (lab_set, unlab_set, lab_loader, unlab_loader, _, _) = \
+        build_active_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, workers=0,
+            training=True, pre_train_sample_nums=4, seed=0)
+    model = build_detector(cfg.MODEL, num_class=1, dataset=lab_set)
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=4)
+    state = train_rt.init_train_state(model, optimizer, lab_set, batch_size=2)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    strat = build_strategy('crb', model, variables, lab_loader, unlab_loader,
+                           rank=0, active_label_dir=str(tmp_path), cfg=cfg)
+    selected = strat.query(cur_epoch=0)
+    assert len(selected) == 2
+    assert set(selected) <= set(unlab_loader.dataset.sample_id_list)
+    # stage-2 grads must come from the roi head shared FC
+    grad_fn = strat._build_grad_fn()
+    g = grad_fn(variables, strat._load_single(selected[0]))
+    params_shape = variables['params']['roi_head']['shared_fc_1']['kernel'].shape
+    assert g.shape == params_shape
+
+
+def test_pvrcnn_llal_signal(tmp_path):
+    """llal needs loss_predictions from the LossNet-equipped roi head."""
+    cfg = make_cfg()
+    model_cfg = CfgNode(dict(PVRCNN_CFG))
+    model_cfg.ROI_HEAD = CfgNode(dict(model_cfg.ROI_HEAD))
+    model_cfg.ROI_HEAD.LOSS_NET = {'SHARED_FC': [64, 64]}
+    cfg.MODEL = model_cfg
+    cfg.ACTIVE_TRAIN.METHOD = 'llal'
+    (lab_set, unlab_set, lab_loader, unlab_loader, _, _) = \
+        build_active_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, workers=0,
+            training=True, pre_train_sample_nums=4, seed=0)
+    model = build_detector(cfg.MODEL, num_class=1, dataset=lab_set)
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=4)
+    state = train_rt.init_train_state(model, optimizer, lab_set, batch_size=2)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    strat = build_strategy('llal', model, variables, lab_loader, unlab_loader,
+                           rank=0, active_label_dir=str(tmp_path), cfg=cfg)
+    selected = strat.query(cur_epoch=0)
+    assert len(selected) == 2
