@@ -152,6 +152,47 @@ def train_loss_net(state, model, labelled_loader, cfg, logger, rng):
     return state, rng
 
 
+def resume_dataset(labelled_loader, unlabelled_loader, active_label_dir,
+                   cfg, logger, rank=0):
+    """Re-apply all pickled selection rounds to rebuild the labelled split
+    after a crash/restart — parity: ``train_utils.resume_datset`` (sic)
+    :178-246. Returns (labelled_loader, unlabelled_loader, rounds_applied)."""
+    import glob
+    import re
+    pkls = sorted(
+        glob.glob(str(Path(active_label_dir)
+                      / f'selected_frames_epoch_*_rank_{rank}.pkl')),
+        key=lambda p: int(re.search(r'epoch_(\d+)_', p).group(1)))
+    rounds = 0
+    for pkl_path in pkls:
+        with open(pkl_path, 'rb') as f:
+            selected = set(pickle.load(f)['frame_id'])
+        lab, unlab = labelled_loader.dataset, unlabelled_loader.dataset
+        id_attr, info_attr = _identity_attrs(unlab)
+        sel_ids = list(getattr(lab, id_attr))
+        sel_infos = list(getattr(lab, info_attr))
+        unsel_ids, unsel_infos = [], []
+        for fid, info in zip(getattr(unlab, id_attr), getattr(unlab, info_attr)):
+            if fid in selected:
+                sel_ids.append(fid)
+                sel_infos.append(info)
+            else:
+                unsel_ids.append(fid)
+                unsel_infos.append(info)
+        (ls, us, labelled_loader, unlabelled_loader, _, _) = \
+            build_active_dataloader(
+                cfg.DATA_CONFIG, cfg.CLASS_NAMES, labelled_loader.batch_size,
+                False, workers=labelled_loader.num_workers, logger=logger,
+                training=True,
+                active_training=(tuple(sel_ids), tuple(sel_infos),
+                                 tuple(unsel_ids), tuple(unsel_infos)))
+        rounds += 1
+    if rounds and logger is not None:
+        logger.info('resume_dataset: replayed %d selection rounds '
+                    '(labelled pool %d)', rounds, len(labelled_loader.dataset))
+    return labelled_loader, unlabelled_loader, rounds
+
+
 def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
                        workers=4, rank=0):
     """The AL outer loop (parity: train_active_utils.train_model_active)."""
@@ -219,6 +260,40 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
     for round_idx in range(num_rounds):
         logger.info('=== selection round %d/%d (epoch %d) ===',
                     round_idx + 1, num_rounds, cur_epoch)
+        # crash-resume: if this round's final ckpt exists, replay its
+        # selection into the loaders and skip retraining (parity:
+        # train_utils.resume_datset + round short-circuit)
+        done_ckpt = Path(ckpt_dir) / f'checkpoint_epoch_{cur_epoch + interval}.pkl'
+        sel_pkl = Path(active_label_dir) / \
+            f'selected_frames_epoch_{cur_epoch}_rank_{rank}.pkl'
+        if active_cfg.get('TRAIN_RESUME', False) and done_ckpt.exists() \
+                and sel_pkl.exists():
+            with open(sel_pkl, 'rb') as f:
+                selected = set(pickle.load(f)['frame_id'])
+            lab, unlab = labelled_loader.dataset, unlabelled_loader.dataset
+            id_attr, info_attr = _identity_attrs(unlab)
+            sel_ids = list(getattr(lab, id_attr)) + [
+                fid for fid in getattr(unlab, id_attr) if fid in selected]
+            sel_infos = list(getattr(lab, info_attr)) + [
+                info for fid, info in zip(getattr(unlab, id_attr),
+                                          getattr(unlab, info_attr))
+                if fid in selected]
+            unsel = [(fid, info) for fid, info in
+                     zip(getattr(unlab, id_attr), getattr(unlab, info_attr))
+                     if fid not in selected]
+            (labelled_set, unlabelled_set, labelled_loader,
+             unlabelled_loader, _, _) = build_active_dataloader(
+                cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, False,
+                workers=workers, logger=logger, training=True,
+                active_training=(tuple(sel_ids), tuple(sel_infos),
+                                 tuple(f for f, _ in unsel),
+                                 tuple(i for _, i in unsel)))
+            state = ckpt_rt.restore_train_state(
+                state, ckpt_rt.load_checkpoint(str(done_ckpt)))
+            cur_epoch += interval
+            logger.info('round %d already complete — resumed from %s',
+                        round_idx + 1, done_ckpt)
+            continue
         if (active_cfg.METHOD == 'llal'
                 and cfg.MODEL.get('ROI_HEAD', {}).get('LOSS_NET', None)):
             # fit the LossNet before querying (train_active_utils.py:242-296)
