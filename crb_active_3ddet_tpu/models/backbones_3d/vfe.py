@@ -113,18 +113,35 @@ class PillarVFE(nn.Module):
         return list(self.model_cfg['NUM_FILTERS'])[-1]
 
 
+class DynamicMeanVFE(MeanVFE):
+    """Parity: ``pcdet/models/backbones_3d/vfe/dynamic_mean_vfe.py`` —
+    scatter-based voxel means without a voxelizer.  In this framework
+    voxelization is already a fused on-device op, so the capped (V, K, C)
+    buffer path of MeanVFE and the reference's dynamic scatter compute the
+    same means; with MAX_POINTS_PER_VOXEL >= the densest cell they are
+    identical.  Kept as a registry alias for config parity."""
+
+
+class DynamicPillarVFE(PillarVFE):
+    """Parity: ``dynamic_pillar_vfe.py`` — see DynamicMeanVFE note."""
+
+
 _VFE_REGISTRY = {
     'MeanVFE': MeanVFE,
     'PillarVFE': PillarVFE,
+    'DynMeanVFE': DynamicMeanVFE,
+    'DynPillarVFE': DynamicPillarVFE,
 }
 
 
 def build_vfe(model_cfg, num_point_features, voxel_size, point_cloud_range,
               grid_size=None):
     name = model_cfg['NAME']
-    if name == 'MeanVFE':
-        return MeanVFE(model_cfg=model_cfg, num_point_features=num_point_features)
-    if name == 'PillarVFE':
-        return PillarVFE(model_cfg=model_cfg, num_point_features=num_point_features,
-                         voxel_size=voxel_size, point_cloud_range=point_cloud_range)
+    if name in ('MeanVFE', 'DynMeanVFE'):
+        return _VFE_REGISTRY[name](model_cfg=model_cfg,
+                                   num_point_features=num_point_features)
+    if name in ('PillarVFE', 'DynPillarVFE'):
+        return _VFE_REGISTRY[name](
+            model_cfg=model_cfg, num_point_features=num_point_features,
+            voxel_size=voxel_size, point_cloud_range=point_cloud_range)
     raise KeyError(f'unknown VFE {name}')

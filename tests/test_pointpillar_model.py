@@ -161,3 +161,14 @@ def test_recall_record():
         preds, jnp.asarray([True, True]), gt, jnp.asarray([True]))
     assert int(rec['gt']) == 1
     assert int(rec['rcnn_0.7']) == 1
+
+
+def test_dynamic_vfe_aliases():
+    """DynMeanVFE / DynPillarVFE registry parity (scatter-based VFEs)."""
+    from crb_active_3ddet_tpu.models.backbones_3d.vfe import build_vfe
+    m = build_vfe({'NAME': 'DynMeanVFE'}, 4, [0.4, 0.4, 4.0], PCR)
+    p = build_vfe({'NAME': 'DynPillarVFE', 'NUM_FILTERS': [32],
+                   'USE_NORM': True, 'WITH_DISTANCE': False,
+                   'USE_ABSLOTE_XYZ': True}, 4, [0.4, 0.4, 4.0], PCR)
+    assert m.get_output_feature_dim() == 4
+    assert p.get_output_feature_dim() == 32
