@@ -50,7 +50,7 @@ def parse_config():
 
 
 def eval_ckpt(ckpt_path, model, state_template, eval_step, test_set,
-              test_loader, logger, result_dir):
+              test_loader, logger, result_dir=None):
     # build variables straight from the checkpoint pytree — no training-path
     # init/compile needed for evaluation
     import jax.numpy as jnp
@@ -60,7 +60,7 @@ def eval_ckpt(ckpt_path, model, state_template, eval_step, test_set,
                  'batch_stats': jax.tree.map(jnp.asarray, ck['batch_stats'])}
     ap_str, ap_dict, recall = eval_rt.eval_one_epoch(
         variables, eval_step, test_set, test_loader, cfg.CLASS_NAMES,
-        logger=logger, result_dir=None)
+        logger=logger, result_dir=result_dir)
     logger.info('\n%s', ap_str)
     logger.info('Result: %s', {k: round(float(v), 4) for k, v in ap_dict.items()})
     return ap_dict
