@@ -55,14 +55,21 @@ def run_bench():
     preds, _ = eval_step(variables, batches[0])
     np.asarray(preds['pred_scores'])
 
-    times = []
-    for i in range(16):
-        t0 = time.perf_counter()
+    # pipelined throughput: dispatch a window of steps, sync at the end —
+    # production eval streams batches without a host sync per step, so the
+    # per-dispatch RPC floor (~27 ms on the tunneled axon backend) must not
+    # be charged once per batch.  The device executes dispatches in order;
+    # materializing every output after the loop bounds the total wall time.
+    n_iter = 32
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_iter):
         preds, _ = eval_step(variables, batches[i % len(batches)])
-        np.asarray(preds['pred_scores'])  # force completion on host
-        times.append(time.perf_counter() - t0)
-    med = sorted(times)[len(times) // 2]
-    return batch_size / med
+        outs.append(preds['pred_scores'])
+    for o in outs:
+        np.asarray(o)
+    dt = time.perf_counter() - t0
+    return batch_size * n_iter / dt
 
 
 def main():

@@ -7,7 +7,10 @@ drives the AL loop, including re-splitting from an explicit
 
 TPU deltas: loaders yield numpy fixed-shape batches; training loaders use
 drop_last=True so the jitted train step sees one static batch shape (the
-reference's ragged final batch would retrigger XLA compilation).
+reference's ragged final batch would retrigger XLA compilation).  The AL
+loaders instead wrap-pad the final batch to full size (every pool frame must
+be scored exactly once, and the labelled set is too small to drop frames) —
+the same trick torch's DistributedSampler uses to equalize ranks.
 """
 
 from __future__ import annotations
@@ -72,7 +75,11 @@ def build_active_dataloader(dataset_cfg, class_names, batch_size, dist=False,
         setattr(unlabelled_set, info_attr, list(active_training[3]))
     else:
         pairs = list(zip(getattr(dataset, id_attr), getattr(dataset, info_attr)))
-        random.shuffle(pairs)
+        # seeded initial split (parity: the reference seeds this path via the
+        # global seed-666 call in train.py:91 + datasets/__init__.py:128-147;
+        # we seed explicitly so reproducibility doesn't depend on caller state)
+        rng = random.Random(seed) if seed is not None else random
+        rng.shuffle(pairs)
         n = int(pre_train_sample_nums)
         sel, unsel = pairs[:n], pairs[n:]
         setattr(labelled_set, id_attr, [p[0] for p in sel])
@@ -85,15 +92,59 @@ def build_active_dataloader(dataset_cfg, class_names, batch_size, dist=False,
         unlabelled_set.merge_all_iters_to_one_epoch(merge=True, epochs=total_epochs)
 
     loader_labelled = DataLoader(
-        labelled_set, batch_size=batch_size, num_workers=workers,
-        shuffle=training, collate_fn=labelled_set.collate_batch,
-        drop_last=False, timeout=0, worker_init_fn=_worker_seed_fn(seed))
+        labelled_set, num_workers=workers,
+        batch_sampler=_PaddedBatchSampler(labelled_set, batch_size,
+                                          shuffle=training, seed=seed),
+        collate_fn=labelled_set.collate_batch, timeout=0,
+        worker_init_fn=_worker_seed_fn(seed))
     loader_unlabelled = DataLoader(
-        unlabelled_set, batch_size=batch_size, num_workers=workers,
-        shuffle=False, collate_fn=unlabelled_set.collate_batch,
-        drop_last=False, timeout=0, worker_init_fn=_worker_seed_fn(seed))
+        unlabelled_set, num_workers=workers,
+        batch_sampler=_PaddedBatchSampler(unlabelled_set, batch_size,
+                                          shuffle=False, seed=seed),
+        collate_fn=unlabelled_set.collate_batch, timeout=0,
+        worker_init_fn=_worker_seed_fn(seed))
     return (labelled_set, unlabelled_set, loader_labelled, loader_unlabelled,
             None, None)
+
+
+class _PaddedBatchSampler:
+    """Yields full fixed-size batches; the final ragged batch is wrap-padded
+    with indices from the start of the (shuffled) order so every sample
+    appears at least once and the jitted step never sees a new batch shape.
+    Reads len(dataset) lazily each epoch — the AL loop mutates the underlying
+    sample list between rounds without rebuilding the loader."""
+
+    def __init__(self, dataset, batch_size, shuffle, seed=None):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self._rng = random.Random(seed)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = list(range(n))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            batch = order[i:i + bs]
+            if len(batch) < bs:
+                batch = batch + order[:bs - len(batch)]
+                if len(batch) < bs:  # dataset smaller than one batch
+                    batch = (batch * bs)[:bs]
+            yield batch
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+
+def loader_batch_size(loader):
+    """Batch size of a DataLoader regardless of sampler flavour (DataLoader
+    reports None when a batch_sampler is used)."""
+    bs = getattr(loader, 'batch_size', None)
+    if bs is None:
+        bs = getattr(getattr(loader, 'batch_sampler', None), 'batch_size', None)
+    return bs
 
 
 def _identity_attrs(dataset):

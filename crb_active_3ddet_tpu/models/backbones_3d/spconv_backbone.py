@@ -55,7 +55,12 @@ class MaskedBatchNorm(nn.Module):
 
 
 class SparseConvLayer(nn.Module):
-    """Batched sparse conv (+BN+ReLU): submanifold (subm=True) or strided."""
+    """Batched sparse conv (+BN+ReLU): submanifold (subm=True) or strided.
+
+    Rulebooks: callers precompute and share subm rulebooks per stage
+    (``rb.subm_rulebook_halved``); strided convs derive output sites AND the
+    rulebook from one sort (``rb.downsample_rulebook``) — no dense-table
+    lookups on the conv path at all."""
     out_channels: int
     grid: tuple
     kernel_size: tuple = (3, 3, 3)
@@ -68,8 +73,7 @@ class SparseConvLayer(nn.Module):
     compute_dtype: str = 'float32'   # 'bfloat16' halves gather traffic
 
     @nn.compact
-    def __call__(self, st, training: bool = False, rulebook=None,
-                 in_table=None):
+    def __call__(self, st, training: bool = False, rulebook=None):
         feats, coords, valid = st['features'], st['coords'], st['valid']
         b, v, cin = feats.shape
         k = int(np.prod(self.kernel_size))
@@ -83,29 +87,16 @@ class SparseConvLayer(nn.Module):
                 # subm rulebooks are shared per stage (same voxel set) —
                 # callers precompute and pass them in; this is the fallback
                 rulebook = jax.vmap(partial(
-                    rb.lookup_neighbors, grid=self.grid,
-                    kernel_size=self.kernel_size, stride=(1, 1, 1),
-                    padding=self.padding))(out_coords, out_valid, coords, valid)
+                    rb.subm_rulebook_halved, grid=self.grid,
+                    kernel_size=self.kernel_size))(coords, valid)
         else:
-            out_coords, out_valid = jax.vmap(partial(
-                rb.downsample_coords, grid=self.grid,
+            out_coords, out_valid, rulebook = jax.vmap(partial(
+                rb.downsample_rulebook, grid=self.grid,
                 kernel_size=self.kernel_size, stride=self.stride,
                 padding=self.padding, max_out=self.max_out or v))(
                 coords, valid)
             out_grid = rb.conv_out_grid(self.grid, self.kernel_size,
                                         self.stride, self.padding)
-            if in_table is not None:
-                rulebook = jax.vmap(partial(
-                    rb.lookup_neighbors, grid=self.grid,
-                    kernel_size=self.kernel_size, stride=self.stride,
-                    padding=self.padding))(out_coords, out_valid, coords,
-                                           valid, table=in_table)
-            else:
-                rulebook = jax.vmap(partial(
-                    rb.lookup_neighbors, grid=self.grid,
-                    kernel_size=self.kernel_size, stride=self.stride,
-                    padding=self.padding))(out_coords, out_valid, coords,
-                                           valid)
 
         # batched gather-GEMM with shared weights; flat 2D row-gather (a
         # padded zero row absorbs missing neighbors) measures ~30% faster
@@ -174,10 +165,13 @@ class DenseMaskedConv3d(nn.Module):
         w = self.param('kernel', nn.initializers.variance_scaling(
             1.0, 'fan_out', 'normal'), (*k, cin, self.out_channels))
         pad = [(p, p) for p in self.padding]
+        # conv in the compute dtype, cast after: preferred_element_type=f32
+        # with bf16 operands breaks the conv VJP (cotangent dtype mismatch);
+        # the MXU accumulates in f32 internally either way and BN renorms
         y = jax.lax.conv_general_dilated(
             x.astype(cdt), w.astype(cdt), window_strides=self.stride,
             padding=pad, dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
-            preferred_element_type=jnp.float32)
+        ).astype(jnp.float32)
         if self.subm:
             new_mask = mask
         else:
@@ -195,10 +189,17 @@ class DenseMaskedConv3d(nn.Module):
 class VoxelBackBone8x(nn.Module):
     """Parity: ``spconv_backbone.VoxelBackBone8x`` (:69-180).
 
-    Stages 1-2 (stride 1-2 grids) run gather-GEMM sparse conv; stages 3-4 +
-    conv_out run dense masked conv (identical semantics, far faster on TPU
-    at those grid sizes). Multi-scale sparse feature sets for the PV-RCNN
-    VSA are regathered from the dense volumes at the active coords."""
+    All stages run gather-GEMM sparse conv over fixed-capacity buffers;
+    only the final conv_out output scatters to a small dense volume for
+    HeightCompression.  Submanifold rulebooks are built once per voxel set
+    (halved-query + mirror); strided rulebooks fall out of the downsample
+    sort for free (rb.downsample_rulebook).
+
+    ``VOXEL_CAPS`` (model cfg, fractions of the input voxel cap) bounds the
+    active-site buffers after each of the 4 downsamples — strided sparse
+    conv shrinks the active set, so deep stages can run on much smaller
+    buffers (overflow truncates, like the voxelizer's MAX_NUMBER_OF_VOXELS).
+    """
     model_cfg: Any
     input_channels: int
     grid_size: tuple           # (nx, ny, nz) dataset order
@@ -207,28 +208,23 @@ class VoxelBackBone8x(nn.Module):
     @nn.compact
     def __call__(self, batch_dict, training: bool = False):
         # spconv sparse_shape = grid_size[::-1] + [1, 0, 0] (ref :141-146)
-        cdt = 'bfloat16' if dict(self.model_cfg).get('USE_BF16', False) \
-            else 'float32'
+        cfg = dict(self.model_cfg)
+        cdt = 'bfloat16' if cfg.get('USE_BF16', False) else 'float32'
         nx, ny, nz = self.grid_size
         grid0 = (nz + 1, ny, nx)
         st = {'features': batch_dict['voxel_features'],
               'coords': batch_dict['voxel_coords'],
               'valid': batch_dict['voxel_valid'], 'grid': grid0}
         cap = st['features'].shape[1]
+        fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
+        caps = [max(16, int(cap * f)) for f in fracs]
 
-        def subm_rulebook(st, table=None):
-            # one shared 3x3x3 submanifold rulebook per voxel set
-            if table is None:
-                table = jax.vmap(partial(rb.build_dense_table,
-                                         grid=st['grid']))(
-                    st['coords'], st['valid'])
-            return jax.vmap(partial(
-                rb.lookup_neighbors, grid=st['grid'], kernel_size=(3, 3, 3),
-                stride=(1, 1, 1), padding=(1, 1, 1)))(
-                st['coords'], st['valid'], st['coords'], st['valid'],
-                table=table)
+        def subm_rbk(st):
+            return jax.vmap(partial(rb.subm_rulebook_halved,
+                                    grid=st['grid']))(
+                st['coords'], st['valid'])
 
-        def stage(st, ch, n_blocks, training, rulebook):
+        def stage(st, ch, n_blocks, rulebook):
             for _ in range(n_blocks):
                 if self.residual:
                     st = SparseBasicBlock(ch, st['grid'])(
@@ -239,52 +235,30 @@ class VoxelBackBone8x(nn.Module):
                         st, training, rulebook=rulebook)
             return st
 
-        table0 = jax.vmap(partial(rb.build_dense_table, grid=grid0))(
-            st['coords'], st['valid'])
-        rbk0 = subm_rulebook(st, table0)
+        rbk0 = subm_rbk(st)
         st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)  # conv_input
-        st = stage(st, 16, 1, training, rbk0)                      # conv1
+        st = stage(st, 16, 1, rbk0)                                # conv1
         x_conv1 = st
         st = SparseConvLayer(32, st['grid'], subm=False, stride=(2, 2, 2),
-                             max_out=cap, compute_dtype=cdt)(
-            st, training, in_table=table0)
-        st = stage(st, 32, 2, training, subm_rulebook(st))
+                             max_out=caps[0], compute_dtype=cdt)(st, training)
+        st = stage(st, 32, 2, subm_rbk(st))                        # conv2
         x_conv2 = st
         st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
-                             max_out=cap, compute_dtype=cdt)(st, training)
-        # ---- dense masked stages (stride >=4 grids) ----
-        grid3 = st['grid']
-        coords3, valid3 = st['coords'], st['valid']
-        x3 = jax.vmap(partial(sparse_tensor_to_dense, grid=grid3))(
-            st['features'], coords3, valid3)            # (B, D3, H3, W3, 64)
-        mask3 = jax.vmap(partial(sparse_tensor_to_dense, grid=grid3))(
-            jnp.ones((*valid3.shape, 1), jnp.float32), coords3,
-            valid3)[..., 0] > 0
-        for _ in range(2):
-            x3, mask3 = DenseMaskedConv3d(64, compute_dtype=cdt)(
-                x3, mask3, training)
-        x_conv3 = {'features': _gather_dense(x3, coords3, valid3, grid3),
-                   'coords': coords3, 'valid': valid3, 'grid': grid3}
-
-        x4, mask4 = DenseMaskedConv3d(64, stride=(2, 2, 2), padding=(0, 1, 1),
-                                      subm=False, compute_dtype=cdt)(
-            x3, mask3, training)
-        for _ in range(2):
-            x4, mask4 = DenseMaskedConv3d(64, compute_dtype=cdt)(
-                x4, mask4, training)
-        coords4, valid4 = jax.vmap(partial(
-            rb.downsample_coords, grid=grid3, kernel_size=(3, 3, 3),
-            stride=(2, 2, 2), padding=(0, 1, 1), max_out=cap))(
-            coords3, valid3)
-        grid4 = rb.conv_out_grid(grid3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
-        x_conv4 = {'features': _gather_dense(x4, coords4, valid4, grid4),
-                   'coords': coords4, 'valid': valid4, 'grid': grid4}
-
-        dense, _ = DenseMaskedConv3d(128, kernel_size=(3, 1, 1),
-                                     stride=(2, 1, 1), padding=(0, 0, 0),
-                                     subm=False, compute_dtype=cdt)(
-            x4, mask4, training)
+                             max_out=caps[1], compute_dtype=cdt)(st, training)
+        st = stage(st, 64, 2, subm_rbk(st))                        # conv3
+        x_conv3 = st
+        st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
+                             padding=(0, 1, 1), max_out=caps[2],
+                             compute_dtype=cdt)(st, training)
+        st = stage(st, 64, 2, subm_rbk(st))                        # conv4
+        x_conv4 = st
+        st = SparseConvLayer(128, st['grid'], subm=False,
+                             kernel_size=(3, 1, 1), stride=(2, 1, 1),
+                             padding=(0, 0, 0), max_out=caps[3],
+                             compute_dtype=cdt)(st, training)      # conv_out
+        dense = jax.vmap(partial(sparse_tensor_to_dense, grid=st['grid']))(
+            st['features'], st['coords'], st['valid'])
         batch_dict['encoded_spconv_features'] = dense   # (B, D, H, W, C)
         batch_dict['encoded_spconv_tensor_stride'] = 8
         batch_dict['multi_scale_3d_features'] = {
@@ -297,18 +271,6 @@ class VoxelBackBone8x(nn.Module):
 
 class VoxelResBackBone8x(VoxelBackBone8x):
     residual: bool = True
-
-
-def _gather_dense(x, coords, valid, grid):
-    """Gather (B, V, C) sparse features from a dense (B, D, H, W, C) volume
-    at (z, y, x) coords (invalid slots -> 0)."""
-    nz, ny, nx = grid
-    b, v, _ = coords.shape
-    flat = jnp.where(valid, coords[..., 0] * (ny * nx) + coords[..., 1] * nx
-                     + coords[..., 2], 0)
-    xf = x.reshape(b, nz * ny * nx, x.shape[-1])
-    g = jnp.take_along_axis(xf, flat[..., None], axis=1)
-    return jnp.where(valid[..., None], g, 0.0)
 
 
 def build_backbone_3d(model_cfg, input_channels, grid_size, voxel_size,

@@ -51,7 +51,8 @@ class CoresetSampling(Strategy):
         from ..runtime.train import host_to_device_batch
         for batch in self.labelled_loader:
             rng, sub = jax.random.split(rng)
-            sig = self._score_fn(self.variables, host_to_device_batch(batch), sub)
+            sig = self._score_fns[(False, 0)](
+                self.variables, host_to_device_batch(batch), sub)
             labeled_emb.append(np.asarray(sig['embeddings']))
         labeled_emb = np.concatenate(labeled_emb, axis=0)
         idxs = furthest_first(unlabeled_emb, labeled_emb,

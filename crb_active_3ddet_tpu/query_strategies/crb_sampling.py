@@ -67,14 +67,39 @@ class CRBSampling(Strategy):
         k1_frames = [fid for fid, _ in ranked[::-1][:int(self.k1 * n_select)]]
 
         # ---------------- Stage 2: representative prototypes -------------
+        # hypothetical targets = stage-1 MC-mean rcnn outputs (reference
+        # caches cls_results/reg_results at crb_sampling.py:97-99 and feeds
+        # them to the stage-2 train-mode loss at :186-196)
+        has_targets = ('batch_rcnn_cls' in next(iter(records.values())))
+        cls_results = {fid: r.get('batch_rcnn_cls')
+                       for fid, r in records.items()}
+        reg_results = {fid: r.get('batch_rcnn_reg')
+                       for fid, r in records.items()}
+
         start = time.time()
-        grad_fn = self._build_grad_fn()
+        chunk = getattr(getattr(self.unlabelled_loader, 'batch_sampler', None),
+                        'batch_size', None) \
+            or getattr(self.unlabelled_loader, 'batch_size', None) or 4
+        grad_fn = self._build_grad_fn(chunk)
+        rng = jax.random.PRNGKey(1)
         frame_ids, grads = [], []
-        for fid in k1_frames:
-            host_batch = self._load_single(fid)
-            g = grad_fn(self.variables, host_batch)
-            grads.append(np.asarray(g).reshape(-1))
-            frame_ids.append(fid)
+        for i0 in range(0, len(k1_frames), chunk):
+            fids = k1_frames[i0:i0 + chunk]
+            load_ids = fids + [fids[-1]] * (chunk - len(fids))
+            host_batch = self._load_frames(load_ids)
+            rng, sub = jax.random.split(rng)
+            if has_targets:
+                targets = {
+                    'cls': jnp.asarray(np.stack(
+                        [cls_results[f] for f in load_ids])),
+                    'reg': jnp.asarray(np.stack(
+                        [reg_results[f] for f in load_ids]))}
+            else:
+                targets = {}
+            g = np.asarray(grad_fn(self.variables, host_batch, sub, targets))
+            for j, fid in enumerate(fids):
+                grads.append(g[j].reshape(-1))
+                frame_ids.append(fid)
         embeddings = np.stack(grads).astype(np.float64)
         n_k2 = int(n_select * self.k2)
         if self.prototype == 'kmeans++':
@@ -158,9 +183,19 @@ class CRBSampling(Strategy):
         return selected_frames
 
     # ---- stage-2 grad machinery ----
-    def _build_grad_fn(self):
-        """Grad-embedding function: roi-head shared-FC grads when the model
-        has a second stage, else RPN conv_cls grads (single-stage fallback)."""
+    def _build_grad_fn(self, chunk):
+        """Per-sample grad embeddings: roi-head shared-FC grads when the
+        model has a second stage, else RPN conv_cls grads (single-stage
+        fallback).
+
+        Parity: the reference runs stage 2 in ``model.train()`` with dropout
+        live over a batch-1 loader (crb_sampling.py:163-214); here the forward
+        runs training=True with a per-sample dropout rng, vmapped over a
+        ``chunk`` of frames (SURVEY §7: vmap-of-grad instead of a
+        ``.backward()`` loop).  BN per-sample batch stats == the reference's
+        batch-1 train-mode BN.  Differentiating only the target kernel means
+        XLA prunes the backward pass below the head — the backbone runs
+        forward-only."""
         dataset = self.unlabelled_set
         model = self.model
         voxel_cfg = dataset.voxel_cfg
@@ -172,46 +207,72 @@ class CRBSampling(Strategy):
                              tuple(self.cfg.CLASS_NAMES),
                              np.asarray(dataset.grid_size),
                              list(dataset.point_cloud_range))
+        path = (('roi_head', 'shared_fc_1', 'kernel') if has_roi
+                else ('dense_head', 'conv_cls', 'kernel'))
+        roi_cfg = self.cfg.MODEL.get('ROI_HEAD', None)
+
+        def _with_target(params, t):
+            a, bkey, c = path
+            inner = dict(params[a])
+            leaf = dict(inner[bkey])
+            leaf[c] = t
+            inner[bkey] = leaf
+            out = dict(params)
+            out[a] = inner
+            return out
 
         @jax.jit
-        def grad_fn(variables, host_batch):
+        def grad_fn(variables, host_batch, rng, targets):
             batch = prepare_device_batch(host_batch, voxel_cfg, grid_size,
                                          pcr, vs)
+            params = variables['params']
+            target = params[path[0]][path[1]][path[2]]
+            samples = {k: v for k, v in batch.items() if k != 'batch_size'}
+            rngs = jax.random.split(rng, chunk)
 
-            def loss_fn(params):
-                out = model.apply(
-                    {'params': params,
-                     'batch_stats': variables['batch_stats']},
-                    batch, training=False)
-                if has_roi and 'rcnn_cls' in out:
-                    # stage-1 hypothetical labels: the model's own MC-mean
-                    # predictions (stop-grad), parity crb_sampling.py:194-196
-                    cls_t = jax.lax.stop_gradient(
-                        jax.nn.sigmoid(out['rcnn_cls']))
-                    reg_t = jax.lax.stop_gradient(out['rcnn_reg'])
+            def single_loss(t, sample, drng, tgt):
+                p = _with_target(params, t)
+                b1 = {k: v[None] for k, v in sample.items()}
+                b1['batch_size'] = 1
+                out, _ = model.apply(
+                    {'params': p, 'batch_stats': variables['batch_stats']},
+                    b1, training=True, rngs={'dropout': drng},
+                    mutable=['batch_stats'])
+                if has_roi and 'rcnn_cls' in out and tgt:
+                    # hypothetical labels: stage-1 MC-mean predictions
+                    # (parity crb_sampling.py:186-196); ROI counts match by
+                    # config (TEST NMS_POST == ROI_PER_IMAGE) — slice to the
+                    # shorter if a config deviates
                     from ..models.roi_heads import roi_head_template as rht
+                    pred_cls = out['rcnn_cls'].reshape(-1)
+                    tgt_cls = tgt['cls'].reshape(-1)
+                    r = min(pred_cls.shape[0], tgt_cls.shape[0])
                     cls_loss = rht.get_box_cls_layer_loss_hyp(
-                        out['rcnn_cls'], cls_t, self.cfg.MODEL.ROI_HEAD)
+                        pred_cls[:r], tgt_cls[:r], roi_cfg)
+                    code = out['rcnn_reg'].shape[-1]
+                    pred_reg = out['rcnn_reg'].reshape(-1, code)
+                    tgt_reg = tgt['reg'].reshape(-1, code)
+                    rr = min(pred_reg.shape[0], tgt_reg.shape[0])
                     reg_loss = rht.get_box_reg_layer_loss_hyp(
-                        out['rcnn_reg'], reg_t, self.cfg.MODEL.ROI_HEAD)
+                        pred_reg[:rr], tgt_reg[:rr], roi_cfg)
                     return cls_loss + reg_loss.mean()
-                # single-stage fallback: rpn loss vs argmax labels
-                b = out['rpn_preds'].shape[0]
-                logits = out['rpn_preds'].reshape(b, -1, self.num_class)
-                hyp = jax.lax.stop_gradient(logits.argmax(-1).astype(jnp.int32))
+                # single-stage fallback: rpn loss vs argmax labels (same
+                # 0..C-1 quirk as badge_sampling.py:90 — class 0 acts as bg)
+                logits = out['cls_preds'].reshape(1, -1, self.num_class)
+                hyp = jax.lax.stop_gradient(
+                    logits.argmax(-1).astype(jnp.int32))
                 new_data = {'cls_preds': out['cls_preds'],
                             'box_cls_labels': hyp}
                 return ahs.get_cls_layer_loss(out, core, new_data=new_data)
 
-            grads = jax.grad(loss_fn)(variables['params'])
-            if has_roi and 'roi_head' in grads:
-                return grads['roi_head']['shared_fc_1']['kernel']
-            return grads['dense_head']['conv_cls']['kernel']
+            g = jax.vmap(jax.grad(single_loss), in_axes=(None, 0, 0, 0))(
+                target, samples, rngs, targets)
+            return g.reshape(chunk, -1)
 
         return grad_fn
 
-    def _load_single(self, frame_id):
+    def _load_frames(self, frame_ids):
         ds = self.unlabelled_set
-        idx = [p[0] for p in self.pairs].index(frame_id)
-        batch = ds.collate_batch([ds[idx]])
+        ids = [p[0] for p in self.pairs]
+        batch = ds.collate_batch([ds[ids.index(f)] for f in frame_ids])
         return host_to_device_batch(batch)

@@ -26,10 +26,8 @@ from ..runtime.train import prepare_device_batch, host_to_device_batch
 
 try:
     import wandb
-    _WANDB = wandb.run is not None
 except Exception:  # pragma: no cover - wandb optional
     wandb = None
-    _WANDB = False
 
 
 def _softmax_entropy(logits, valid=None):
@@ -69,7 +67,13 @@ class Strategy:
         else:
             self.pairs = list(zip(self.unlabelled_set.frame_ids,
                                   self.unlabelled_set.infos))
-        self._score_fn = None
+        self._score_fns = {}  # keyed on (mc_dropout, num_mc)
+        # shard pool scoring over all chips when the pool batch divides the
+        # device count (the reference's DistributedSampler pool sharding,
+        # pcdet/datasets/__init__.py:26-46, without per-rank pickle merges)
+        from ..datasets import loader_batch_size
+        from ..parallel import default_mesh
+        self.mesh = default_mesh(loader_batch_size(unlabelled_loader))
 
     # ---- jitted pool scoring ------------------------------------------------
     def build_score_fn(self, mc_dropout: bool = False, num_mc: int = 0):
@@ -83,7 +87,6 @@ class Strategy:
         pcr = tuple(float(x) for x in dataset.point_cloud_range)
         vs = tuple(float(v) for v in dataset.voxel_size)
 
-        @jax.jit
         def score(variables, host_batch, rng):
             batch = prepare_device_batch(host_batch, voxel_cfg, grid_size,
                                          pcr, vs)
@@ -153,6 +156,12 @@ class Strategy:
             if mc_dropout and num_mc > 1:
                 signals['mc_cls_var'] = out['mc_cls_var'].mean(axis=(1, 2))
                 signals['mc_box_var'] = out['mc_box_var'].mean(axis=(1, 2))
+                if 'batch_rcnn_cls' in out:
+                    # CRB stage-2 hypothetical targets: the MC-mean rcnn
+                    # outputs (reference crb_sampling.py:97-99 caches
+                    # batch_rcnn_cls/batch_rcnn_reg per frame)
+                    signals['batch_rcnn_cls'] = out['batch_rcnn_cls']
+                    signals['batch_rcnn_reg'] = out['batch_rcnn_reg']
             if 'loss_predictions' in out:
                 signals['loss_predictions'] = out['loss_predictions'].reshape(-1)
             if 'shared_features' in out:
@@ -169,7 +178,14 @@ class Strategy:
             signals.update(gt_stats)
             return signals
 
-        return score
+        if self.mesh is not None:
+            from ..parallel import batch_sharding, replicated
+            return jax.jit(score,
+                           in_shardings=(replicated(self.mesh),
+                                         batch_sharding(self.mesh),
+                                         replicated(self.mesh)),
+                           out_shardings=replicated(self.mesh))
+        return jax.jit(score)
 
     def scan_pool(self, mc_dropout=False, num_mc=0, rng=None, loader=None):
         """Run the jitted scorer over the whole unlabelled pool.
@@ -177,14 +193,16 @@ class Strategy:
         Returns dict frame_id → {signal: np.array}, in pool order.
         """
         loader = loader if loader is not None else self.unlabelled_loader
-        if self._score_fn is None:
-            self._score_fn = self.build_score_fn(mc_dropout, num_mc)
+        key = (bool(mc_dropout), int(num_mc))
+        if key not in self._score_fns:
+            self._score_fns[key] = self.build_score_fn(mc_dropout, num_mc)
+        score_fn = self._score_fns[key]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         records = {}
         for batch in loader:
             host_batch = host_to_device_batch(batch)
             rng, sub = jax.random.split(rng)
-            sig = self._score_fn(self.variables, host_batch, sub)
+            sig = score_fn(self.variables, host_batch, sub)
             sig = jax.tree.map(np.asarray, sig)
             for i, fid in enumerate(batch['frame_id']):
                 records[fid] = {k: v[i] for k, v in sig.items()}
@@ -200,23 +218,34 @@ class Strategy:
         self.median_point_records[frame_id] = as_dict(record['median_points'])
         self.variance_point_records[frame_id] = as_dict(record['variance_points'])
 
-    def update_dashboard(self, cur_epoch=None, accumulated_iter=None):
-        if not _WANDB:
+    def update_dashboard(self, cur_epoch=None, accumulated_iter=None,
+                         metrics=None):
+        """AL selection dashboard (parity: strategy.py:42-63 wandb panels).
+        ``metrics``: a MetricsLogger — tensorboard + optional wandb.  Falls
+        back to a live wandb run when no logger is passed."""
+        sinks = []
+        if metrics is not None:
+            sinks.append(metrics.add_scalar)
+        elif wandb is not None and wandb.run is not None:
+            sinks.append(lambda k, v, s: wandb.log({k: v}, step=s))
+        if not sinks or not getattr(self, 'selected_bbox', None):
             return
+
+        def log(key, value):
+            for s in sinks:
+                s(key, value, accumulated_iter)
+
         classes = list(self.selected_bbox[0].keys())
         total_bbox = 0
         for cls_idx in classes:
             num_cls_bbox = sum(i[cls_idx] for i in self.selected_bbox)
-            wandb.log({f'active_selection/num_bbox_{cls_idx}': num_cls_bbox},
-                      step=accumulated_iter)
+            log(f'active_selection/num_bbox_{cls_idx}', num_cls_bbox)
             total_bbox += num_cls_bbox
             for met in self.point_measures:
                 sel = getattr(self, f'selected_{met}_points')
                 val = (sum(i[cls_idx] for i in sel) / len(sel)) if num_cls_bbox else 0
-                wandb.log({f'active_selection/{met}_points_{cls_idx}': val},
-                          step=accumulated_iter)
-        wandb.log({'active_selection/total_bbox_selected': total_bbox},
-                  step=accumulated_iter)
+                log(f'active_selection/{met}_points_{cls_idx}', val)
+        log('active_selection/total_bbox_selected', total_bbox)
 
     def save_active_labels(self, selected_frames=None, grad_embeddings=None,
                            cur_epoch=None):

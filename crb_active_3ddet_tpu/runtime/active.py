@@ -17,7 +17,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from ..datasets import build_active_dataloader, _identity_attrs
+from ..datasets import (build_active_dataloader, _identity_attrs,
+                        loader_batch_size)
 from ..models import build_network
 from ..query_strategies import build_strategy
 from . import checkpoint as ckpt_rt
@@ -27,7 +28,8 @@ from .optimization import build_optimizer
 
 def select_active_labels(model, variables, labelled_loader, unlabelled_loader,
                          rank, logger, method, cur_epoch=None,
-                         dist_train=False, active_label_dir=None, cfg=None):
+                         dist_train=False, active_label_dir=None, cfg=None,
+                         tb_log=None):
     """Parity: ``active_training_utils.select_active_labels:240-325``.
     Returns (labelled_loader, unlabelled_loader, selected_frames)."""
     resume_path = Path(active_label_dir) / \
@@ -43,7 +45,9 @@ def select_active_labels(model, variables, labelled_loader, unlabelled_loader,
         selected_frames = list(strategy.query(cur_epoch=cur_epoch))
         strategy.save_active_labels(selected_frames=selected_frames,
                                     cur_epoch=cur_epoch)
-        strategy.update_dashboard(cur_epoch=cur_epoch)
+        strategy.update_dashboard(cur_epoch=cur_epoch,
+                                  accumulated_iter=cur_epoch,
+                                  metrics=tb_log)
 
     labelled_set = labelled_loader.dataset
     unlabelled_set = unlabelled_loader.dataset
@@ -61,7 +65,7 @@ def select_active_labels(model, variables, labelled_loader, unlabelled_loader,
             unsel_ids.append(fid)
             unsel_infos.append(info)
 
-    batch_size = labelled_loader.batch_size
+    batch_size = loader_batch_size(labelled_loader)
     workers = labelled_loader.num_workers
     active_training = (tuple(sel_ids), tuple(sel_infos),
                        tuple(unsel_ids), tuple(unsel_infos))
@@ -181,7 +185,8 @@ def resume_dataset(labelled_loader, unlabelled_loader, active_label_dir,
                 unsel_infos.append(info)
         (ls, us, labelled_loader, unlabelled_loader, _, _) = \
             build_active_dataloader(
-                cfg.DATA_CONFIG, cfg.CLASS_NAMES, labelled_loader.batch_size,
+                cfg.DATA_CONFIG, cfg.CLASS_NAMES,
+                loader_batch_size(labelled_loader),
                 False, workers=labelled_loader.num_workers, logger=logger,
                 training=True,
                 active_training=(tuple(sel_ids), tuple(sel_infos),
@@ -194,8 +199,10 @@ def resume_dataset(labelled_loader, unlabelled_loader, active_label_dir,
 
 
 def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
-                       workers=4, rank=0):
-    """The AL outer loop (parity: train_active_utils.train_model_active)."""
+                       workers=4, rank=0, mesh=None, tb_log=None):
+    """The AL outer loop (parity: train_active_utils.train_model_active).
+    With ``mesh``, every retrain phase runs DP-sharded over the chips and
+    pool scoring shards automatically (Strategy.mesh)."""
     active_cfg = cfg.ACTIVE_TRAIN
     active_label_dir = output_dir / 'active_labels'
     backbone_dir = output_dir / 'backbone'
@@ -234,7 +241,11 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
             ckpt_rt.checkpoint_state(state, epoch=0, it=0), str(init_ckpt_path))
     init_ckpt = ckpt_rt.load_checkpoint(str(init_ckpt_path) + '.pkl')
 
-    train_step = train_rt.make_train_step(model, optimizer, labelled_set)
+    if mesh is not None:
+        from ..parallel import place_replicated
+        state = place_replicated(state, mesh)
+    train_step = train_rt.make_train_step(model, optimizer, labelled_set,
+                                          mesh=mesh)
 
     # ---------------- PHASE A: pretrain -------------------------------------
     pretrain_ckpt, resumed_epoch = (None, 0)
@@ -248,8 +259,10 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
         for epoch in range(pretrain_epochs):
             state, metrics, rng = train_rt.train_one_epoch(
                 state, train_step, labelled_loader, rng, logger=logger,
-                cur_epoch=epoch)
+                cur_epoch=epoch, tb_log=tb_log)
             logger.info('[pretrain] epoch %d loss %.4f', epoch, metrics['loss'])
+            if tb_log is not None:
+                tb_log.add_scalar('train/epoch_loss', metrics['loss'], epoch)
         ckpt_rt.save_checkpoint(
             ckpt_rt.checkpoint_state(state, epoch=pretrain_epochs,
                                      it=int(state.step)),
@@ -303,7 +316,7 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
         labelled_loader, unlabelled_loader, selected = select_active_labels(
             model, variables, labelled_loader, unlabelled_loader, rank,
             logger, method=active_cfg.METHOD, cur_epoch=cur_epoch,
-            active_label_dir=active_label_dir, cfg=cfg)
+            active_label_dir=active_label_dir, cfg=cfg, tb_log=tb_log)
         logger.info('selected %d frames; labelled pool now %d', len(selected),
                     len(labelled_loader.dataset))
 
@@ -314,14 +327,21 @@ def train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
         state = train_rt.init_train_state(model, optimizer,
                                           labelled_loader.dataset, batch_size)
         state = ckpt_rt.restore_train_state(state, init_ckpt)
+        if mesh is not None:
+            from ..parallel import place_replicated
+            state = place_replicated(state, mesh)
         train_step = train_rt.make_train_step(model, optimizer,
-                                              labelled_loader.dataset)
+                                              labelled_loader.dataset,
+                                              mesh=mesh)
         for e in range(interval):
             state, metrics, rng = train_rt.train_one_epoch(
                 state, train_step, labelled_loader, rng, logger=logger,
-                cur_epoch=cur_epoch + e)
+                cur_epoch=cur_epoch + e, tb_log=tb_log)
             logger.info('[round %d] epoch %d loss %.4f', round_idx + 1,
                         cur_epoch + e, metrics['loss'])
+            if tb_log is not None:
+                tb_log.add_scalar('train/epoch_loss', metrics['loss'],
+                                  cur_epoch + e)
         cur_epoch += interval
         ckpt_rt.save_checkpoint(
             ckpt_rt.checkpoint_state(state, epoch=cur_epoch,

@@ -66,14 +66,21 @@ def host_to_device_batch(batch):
     return {k: jnp.asarray(np.asarray(batch[k])) for k in keep if k in batch}
 
 
-def make_train_step(model, optimizer, dataset):
-    """Build the jitted train step closed over static data config."""
+def make_train_step(model, optimizer, dataset, mesh=None, axis_name='dp'):
+    """Build the jitted train step closed over static data config.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the step is jitted with the
+    batch sharded over ``axis_name`` and state/outputs replicated — XLA
+    inserts the gradient all-reduce over ICI (the DDP equivalent of
+    ``tools/train.py:195-196`` in the reference).  Callers should place the
+    state once via :func:`place_replicated` — the donated state then stays
+    resident and no per-step transfers happen.
+    """
     voxel_cfg = dataset.voxel_cfg
     grid_size = tuple(int(g) for g in dataset.grid_size)
     pcr = tuple(float(x) for x in dataset.point_cloud_range)
     vs = tuple(float(v) for v in dataset.voxel_size)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, host_batch, rng):
         batch = prepare_device_batch(host_batch, voxel_cfg, grid_size, pcr, vs)
 
@@ -98,7 +105,14 @@ def make_train_step(model, optimizer, dataset):
                         if jnp.ndim(v) == 0})
         return new_state, metrics
 
-    return train_step
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(train_step, donate_argnums=(0,),
+                   in_shardings=(rep, bsh, rep),
+                   out_shardings=(rep, rep))
 
 
 def init_train_state(model, optimizer, dataset, batch_size, rng=None):

@@ -1,6 +1,8 @@
 """Test config: run JAX on a virtual 8-device CPU mesh (SURVEY.md §4 item d).
 
-Must set env vars before jax initializes — keep this at module import time.
+The axon sitecustomize may import jax and pin JAX_PLATFORMS=axon before this
+file runs, so setting env vars alone is not enough — update the live jax
+config too (same trick as __graft_entry__.py).
 """
 
 import os
@@ -11,5 +13,11 @@ flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.devices()[0].platform == 'cpu', (
+    'tests must run on the virtual CPU mesh, got %s' % jax.devices())
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,104 @@
+"""One full AL round (train + sharded pool scan + select + retrain) on the
+virtual 8-device CPU mesh — the product multi-chip path (VERDICT r1 item 2).
+
+Covers: make_train_step(mesh=...) with in/out shardings, Strategy's
+automatic sharded pool scoring (Strategy.mesh via default_mesh), and the
+select → rebuild-loaders → retrain cycle, all with batch 8 over 8 devices.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from crb_active_3ddet_tpu.config import CfgNode
+from crb_active_3ddet_tpu.datasets import build_active_dataloader
+from crb_active_3ddet_tpu.models.detectors import build_detector
+from crb_active_3ddet_tpu.parallel import default_mesh, place_replicated
+from crb_active_3ddet_tpu.query_strategies import build_strategy
+from crb_active_3ddet_tpu.runtime import train as train_rt
+from crb_active_3ddet_tpu.runtime.active import select_active_labels
+from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
+
+from test_train_loop import tiny_data_cfg
+from test_pointpillar_model import MODEL_CFG
+
+BATCH = 8
+
+
+def make_cfg():
+    return CfgNode({
+        'CLASS_NAMES': ['Car'],
+        'DATA_CONFIG': tiny_data_cfg(training_scenes=24),
+        'MODEL': MODEL_CFG,
+        'OPTIMIZATION': {'OPTIMIZER': 'adam_onecycle', 'LR': 0.003,
+                         'WEIGHT_DECAY': 0.01, 'MOMENTUM': 0.9,
+                         'PCT_START': 0.4, 'DIV_FACTOR': 10,
+                         'GRAD_NORM_CLIP': 10, 'BATCH_SIZE_PER_GPU': BATCH,
+                         'NUM_EPOCHS': 1},
+        'ACTIVE_TRAIN': {
+            'METHOD': 'entropy', 'AGGREGATION': 'mean',
+            'PRE_TRAIN_SAMPLE_NUMS': 8, 'PRE_TRAIN_EPOCH_NUMS': 1,
+            'TRAIN_RESUME': False, 'SELECT_NUMS': 4,
+            'SELECT_LABEL_EPOCH_INTERVAL': 1, 'TOTAL_BUDGET_NUMS': 4,
+            'ACTIVE_CONFIG': {'K1': 2, 'K2': 1, 'BANDWDITH': 5,
+                              'CLUSTERING': 'kmeans++'},
+        },
+    })
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_parallel_al_round(tmp_path):
+    cfg = make_cfg()
+    mesh = default_mesh(BATCH)
+    assert mesh is not None and mesh.size == 8
+
+    (lab_set, unlab_set, lab_loader, unlab_loader, _, _) = \
+        build_active_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=BATCH, workers=0,
+            training=True, pre_train_sample_nums=8, seed=0)
+    model = build_detector(cfg.MODEL, num_class=1, dataset=lab_set)
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=10)
+    state = train_rt.init_train_state(model, optimizer, lab_set,
+                                      batch_size=BATCH)
+    state = place_replicated(state, mesh)
+
+    # --- DP pretrain epoch over the mesh ---
+    step = train_rt.make_train_step(model, optimizer, lab_set, mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    state, metrics, rng = train_rt.train_one_epoch(
+        state, step, lab_loader, rng)
+    assert np.isfinite(metrics['loss'])
+
+    # --- sharded pool scan + selection ---
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    strat = build_strategy('entropy', model, variables, lab_loader,
+                           unlab_loader, rank=0,
+                           active_label_dir=str(tmp_path), cfg=cfg)
+    assert strat.mesh is not None and strat.mesh.size == 8
+    selected = strat.query(cur_epoch=0)
+    assert len(selected) == 4
+    assert len(set(selected)) == 4
+    pool_ids = set(unlab_loader.dataset.sample_id_list)
+    assert set(selected) <= pool_ids
+    # wrap-padded final batch must still have scored every pool frame once
+    assert set(strat.bbox_records.keys()) >= pool_ids
+
+    # --- move frames + retrain on the enlarged pool, still on the mesh ---
+    strat.save_active_labels(selected_frames=list(selected), cur_epoch=0)
+
+    class _Logger:
+        def info(self, *a, **k):
+            pass
+    lab_loader, unlab_loader, sel = select_active_labels(
+        model, variables, lab_loader, unlab_loader, rank=0, logger=_Logger(),
+        method='entropy', cur_epoch=0, active_label_dir=str(tmp_path),
+        cfg=cfg)
+    assert len(lab_loader.dataset) == 12
+    assert len(unlab_loader.dataset) == 12
+
+    step2 = train_rt.make_train_step(model, optimizer,
+                                     lab_loader.dataset, mesh=mesh)
+    state = place_replicated(state, mesh)
+    state, metrics, rng = train_rt.train_one_epoch(
+        state, step2, lab_loader, rng)
+    assert np.isfinite(metrics['loss'])

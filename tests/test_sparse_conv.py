@@ -138,3 +138,53 @@ def test_backbone_shapes():
     ms = out['multi_scale_3d_features']
     assert ms['x_conv1']['features'].shape[-1] == 16
     assert ms['x_conv4']['features'].shape[-1] == 64
+
+
+def test_subm_rulebook_halved_matches_full_lookup():
+    """Halved-query subm rulebook == the 27-query lookup_neighbors oracle."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(7)
+    grid = (8, 12, 10)
+    v = 64
+    # unique coords with some invalid tail
+    cells = rng.choice(8 * 12 * 10, size=v, replace=False)
+    coords = np.stack([cells // 120, (cells % 120) // 10, cells % 10],
+                      axis=-1).astype(np.int32)
+    valid = np.arange(v) < 50
+    full = np.asarray(rb.lookup_neighbors(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(coords),
+        jnp.asarray(valid), grid=grid))
+    halved = np.asarray(rb.subm_rulebook_halved(
+        jnp.asarray(coords), jnp.asarray(valid), grid=grid))
+    # oracle marks invalid-out rows via out_valid; halved leaves -1 there
+    assert np.array_equal(halved[valid], full[valid])
+    assert (halved[~valid] == -1).all()
+
+
+def test_downsample_rulebook_matches_lookup():
+    """Fused downsample+rulebook == downsample_coords + lookup_neighbors."""
+    from functools import partial
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(8)
+    grid = (9, 16, 14)
+    v = 80
+    cells = rng.choice(9 * 16 * 14, size=v, replace=False)
+    coords = np.stack([cells // (16 * 14), (cells % (16 * 14)) // 14,
+                       cells % 14], axis=-1).astype(np.int32)
+    valid = np.arange(v) < 70
+    for ks, st, pd in [((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+                       ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+                       ((3, 1, 1), (2, 1, 1), (0, 0, 0))]:
+        oc, ov, rbk = rb.downsample_rulebook(
+            jnp.asarray(coords), jnp.asarray(valid), grid=grid,
+            kernel_size=ks, stride=st, padding=pd, max_out=v)
+        oc_ref, ov_ref = rb.downsample_coords(
+            jnp.asarray(coords), jnp.asarray(valid), grid=grid,
+            kernel_size=ks, stride=st, padding=pd, max_out=v)
+        assert np.array_equal(np.asarray(ov), np.asarray(ov_ref))
+        assert np.array_equal(np.asarray(oc), np.asarray(oc_ref))
+        rbk_ref = rb.lookup_neighbors(
+            oc_ref, ov_ref, jnp.asarray(coords), jnp.asarray(valid),
+            grid=grid, kernel_size=ks, stride=st, padding=pd)
+        ovn = np.asarray(ov)
+        assert np.array_equal(np.asarray(rbk)[ovn], np.asarray(rbk_ref)[ovn])

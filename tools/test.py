@@ -40,6 +40,8 @@ def parse_config():
     parser.add_argument('--eval_all', action='store_true', default=False)
     parser.add_argument('--ckpt_dir', type=str, default=None)
     parser.add_argument('--max_waiting_mins', type=float, default=30)
+    parser.add_argument('--wandb', action='store_true', default=False,
+                        help='also log eval metrics to wandb')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -79,6 +81,12 @@ def main():
     common_utils.enable_compilation_cache()
     logger.info('jax devices: %s', jax.devices())
 
+    from crb_active_3ddet_tpu.utils.observability import MetricsLogger
+    tb_log = MetricsLogger(log_dir=eval_dir / 'tensorboard',
+                           use_wandb=args.wandb,
+                           run_name=f'eval_{cfg.TAG}_{args.extra_tag}',
+                           config=cfg)
+
     test_set, test_loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
         workers=args.workers, logger=logger, training=False)
@@ -91,8 +99,10 @@ def main():
 
     if not args.eval_all:
         assert args.ckpt is not None, '--ckpt required without --eval_all'
-        eval_ckpt(args.ckpt, model, state_template, eval_step, test_set,
-                  test_loader, logger, eval_dir)
+        ap = eval_ckpt(args.ckpt, model, state_template, eval_step, test_set,
+                       test_loader, logger, eval_dir)
+        tb_log.add_scalars(ap, step=0, prefix='eval/')
+        tb_log.close()
         return
 
     ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else output_dir / 'ckpt'
@@ -116,6 +126,8 @@ def main():
             logger.info('==> evaluating %s', c)
             ap = eval_ckpt(c, model, state_template, eval_step, test_set,
                            test_loader, logger, eval_dir)
+            tb_log.add_scalars(ap, step=epoch, prefix='eval/')
+            tb_log.flush()
             evaluated.add(c)
             with open(record_file, 'a') as f:
                 print(c, file=f)

@@ -39,6 +39,11 @@ def parse_config():
     parser.add_argument('--fix_random_seed', action='store_true', default=True)
     parser.add_argument('--ckpt_save_interval', type=int, default=1)
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--wandb', action='store_true', default=False,
+                        help='also log to wandb (WANDB_PROJECT env)')
+    parser.add_argument('--mesh', type=str, default='auto',
+                        help="data-parallel mesh: 'auto' (all chips when the "
+                             "batch divides evenly), 'none', or a device count")
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -46,6 +51,29 @@ def parse_config():
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)
     return args, cfg
+
+
+def _resolve_mesh(mesh_arg, batch_size, logger):
+    """'auto' → all chips when batch divides evenly; 'none' → single device;
+    an int → first N devices (batch must divide)."""
+    from crb_active_3ddet_tpu.parallel import default_mesh, make_mesh
+    if mesh_arg == 'none':
+        return None
+    if mesh_arg == 'auto':
+        mesh = default_mesh(batch_size)
+        if mesh is not None:
+            logger.info('DP mesh over %d devices (batch %d)',
+                        mesh.size, batch_size)
+        return mesh
+    n = int(mesh_arg)
+    if n <= 1:
+        return None
+    if batch_size % n:
+        raise ValueError(f'batch_size {batch_size} not divisible by '
+                         f'mesh size {n}')
+    mesh = make_mesh(jax.devices()[:n])
+    logger.info('DP mesh over %d devices (batch %d)', n, batch_size)
+    return mesh
 
 
 def main():
@@ -67,10 +95,18 @@ def main():
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
 
+    mesh = _resolve_mesh(args.mesh, batch_size, logger)
+
+    from crb_active_3ddet_tpu.utils.observability import MetricsLogger
+    tb_log = MetricsLogger(log_dir=output_dir / 'tensorboard',
+                           use_wandb=args.wandb,
+                           run_name=f'{cfg.TAG}_{args.extra_tag}', config=cfg)
+
     if cfg.get('ACTIVE_TRAIN', None):
         from crb_active_3ddet_tpu.runtime.active import train_model_active
         train_model_active(cfg, args, batch_size, logger, output_dir, ckpt_dir,
-                           workers=args.workers)
+                           workers=args.workers, mesh=mesh, tb_log=tb_log)
+        tb_log.close()
         logger.info('**********************End active training**********************')
         return
 
@@ -95,23 +131,29 @@ def main():
         start_epoch = last_epoch
         logger.info('Auto-resumed from %s (epoch %d)', latest, last_epoch)
 
-    train_step = train_rt.make_train_step(model, optimizer, train_set)
+    train_step = train_rt.make_train_step(model, optimizer, train_set,
+                                          mesh=mesh)
+    if mesh is not None:
+        from crb_active_3ddet_tpu.parallel import place_replicated
+        state = place_replicated(state, mesh)
     rng = jax.random.PRNGKey(666)
     logger.info('*************** Start training (%d epochs, %d steps/epoch) ***************',
                 epochs, steps_per_epoch)
     for epoch in range(start_epoch, epochs):
         state, metrics, rng = train_rt.train_one_epoch(
             state, train_step, train_loader, rng, logger=logger,
-            cur_epoch=epoch)
+            cur_epoch=epoch, tb_log=tb_log)
         logger.info('epoch %d done: loss %.4f (data %.1fs batch %.1fs)',
                     epoch, metrics['loss'], metrics['data_time'],
                     metrics['batch_time'])
+        tb_log.add_scalar('train/epoch_loss', metrics['loss'], epoch)
         if (epoch + 1) % args.ckpt_save_interval == 0 or epoch + 1 == epochs:
             ck = ckpt_rt.checkpoint_state(state, epoch=epoch + 1,
                                           it=int(state.step))
             fn = ckpt_rt.save_checkpoint(
                 ck, str(ckpt_dir / f'checkpoint_epoch_{epoch + 1}'))
             logger.info('Saved %s', fn)
+    tb_log.close()
     logger.info('**********************End training**********************')
 
 
