@@ -73,7 +73,8 @@ class SparseConvLayer(nn.Module):
     compute_dtype: str = 'float32'   # 'bfloat16' halves gather traffic
 
     @nn.compact
-    def __call__(self, st, training: bool = False, rulebook=None):
+    def __call__(self, st, training: bool = False, rulebook=None,
+                 precomputed=None):
         feats, coords, valid = st['features'], st['coords'], st['valid']
         b, v, cin = feats.shape
         k = int(np.prod(self.kernel_size))
@@ -90,11 +91,14 @@ class SparseConvLayer(nn.Module):
                     rb.subm_rulebook_halved, grid=self.grid,
                     kernel_size=self.kernel_size))(coords, valid)
         else:
-            out_coords, out_valid, rulebook = jax.vmap(partial(
-                rb.downsample_rulebook, grid=self.grid,
-                kernel_size=self.kernel_size, stride=self.stride,
-                padding=self.padding, max_out=self.max_out or v))(
-                coords, valid)
+            if precomputed is not None:
+                out_coords, out_valid, rulebook = precomputed
+            else:
+                out_coords, out_valid, rulebook = jax.vmap(partial(
+                    rb.downsample_rulebook, grid=self.grid,
+                    kernel_size=self.kernel_size, stride=self.stride,
+                    padding=self.padding, max_out=self.max_out or v))(
+                    coords, valid)
             out_grid = rb.conv_out_grid(self.grid, self.kernel_size,
                                         self.stride, self.padding)
 
@@ -284,4 +288,189 @@ def build_backbone_3d(model_cfg, input_channels, grid_size, voxel_size,
         return VoxelResBackBone8x(model_cfg=model_cfg,
                                   input_channels=input_channels,
                                   grid_size=tuple(int(g) for g in grid_size))
+    if name == 'UNetV2':
+        return UNetV2(model_cfg=model_cfg, input_channels=input_channels,
+                      grid_size=tuple(int(g) for g in grid_size),
+                      voxel_size=tuple(float(v) for v in voxel_size),
+                      point_cloud_range=tuple(float(x)
+                                              for x in point_cloud_range))
+    if name == 'PointNet2MSG':
+        from .pointnet2_backbone import PointNet2MSG
+        return PointNet2MSG(model_cfg=model_cfg,
+                            input_channels=input_channels)
     raise KeyError(f'unknown backbone_3d {name}')
+
+
+class SparseInverseConvLayer(nn.Module):
+    """SparseInverseConv3d equivalent: upsample coarse features back to the
+    finer voxel set of the strided conv that produced them (reference
+    spconv_unet.py:95, indice_key reuse).  The inverse rulebook falls out of
+    the saved forward rulebook by one scatter (rb.inverse_rulebook)."""
+    out_channels: int
+    kernel_size: tuple = (3, 3, 3)
+    use_norm: bool = True
+    use_relu: bool = True
+    compute_dtype: str = 'float32'
+
+    @nn.compact
+    def __call__(self, st_coarse, fine_coords, fine_valid, fine_grid,
+                 fwd_rulebook, training: bool = False):
+        feats = st_coarse['features']
+        b, vc, cin = feats.shape
+        vf = fine_coords.shape[1]
+        k = int(np.prod(self.kernel_size))
+        w = self.param('kernel', nn.initializers.variance_scaling(
+            1.0, 'fan_out', 'normal'), (k, cin, self.out_channels))
+        inv_rbk = jax.vmap(partial(rb.inverse_rulebook, v_fine=vf))(
+            fwd_rulebook)
+        cdt = jnp.dtype(self.compute_dtype)
+        feats_flat = jnp.concatenate(
+            [feats.astype(cdt).reshape(b * vc, cin),
+             jnp.zeros((1, cin), cdt)], axis=0)
+        off = (jnp.arange(b, dtype=jnp.int32) * vc)[:, None, None]
+        idx = jnp.where(inv_rbk >= 0, inv_rbk + off, b * vc)
+        g = feats_flat[idx.reshape(-1)]
+        out = jnp.dot(g.reshape(b * vf, k * cin),
+                      w.astype(cdt).reshape(k * cin, self.out_channels),
+                      preferred_element_type=jnp.float32).reshape(
+            b, vf, self.out_channels)
+        if self.use_norm:
+            out = MaskedBatchNorm(momentum=0.99, epsilon=1e-3)(
+                out, fine_valid, training)
+        if self.use_relu:
+            out = nn.relu(out)
+        out = jnp.where(fine_valid[..., None], out, 0.0)
+        return {'features': out, 'coords': fine_coords, 'valid': fine_valid,
+                'grid': fine_grid}
+
+
+class UNetV2(nn.Module):
+    """Parity: ``spconv_unet.UNetV2`` (:49-215) — VoxelBackBone8x-style
+    encoder + inverse-conv decoder with lateral UR blocks, emitting stride-1
+    per-voxel ``point_features`` (16ch) for PartA2's part segmentation."""
+    model_cfg: Any
+    input_channels: int
+    grid_size: tuple           # (nx, ny, nz)
+    voxel_size: tuple = (0.05, 0.05, 0.1)
+    point_cloud_range: tuple = (0, -40, -3, 70.4, 40, 1)
+
+    @nn.compact
+    def __call__(self, batch_dict, training: bool = False):
+        cfg = dict(self.model_cfg)
+        cdt = 'bfloat16' if cfg.get('USE_BF16', False) else 'float32'
+        nx, ny, nz = self.grid_size
+        grid0 = (nz + 1, ny, nx)
+        st = {'features': batch_dict['voxel_features'],
+              'coords': batch_dict['voxel_coords'],
+              'valid': batch_dict['voxel_valid'], 'grid': grid0}
+        cap = st['features'].shape[1]
+        fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
+        caps = [max(16, int(cap * f)) for f in fracs]
+
+        def subm_rbk(s):
+            return jax.vmap(partial(rb.subm_rulebook_halved, grid=s['grid']))(
+                s['coords'], s['valid'])
+
+        def down(s, ch, stride, padding, max_out):
+            """Strided conv capturing (fine set, fwd rulebook) for the
+            decoder's inverse conv."""
+            feats, coords, valid = s['features'], s['coords'], s['valid']
+            out_coords, out_valid, rulebook = jax.vmap(partial(
+                rb.downsample_rulebook, grid=s['grid'], kernel_size=(3, 3, 3),
+                stride=stride, padding=padding, max_out=max_out))(
+                coords, valid)
+            # run the conv through SparseConvLayer's gather-GEMM by handing
+            # it the precomputed rulebook via the subm path shape contract
+            layer = SparseConvLayer(ch, s['grid'], kernel_size=(3, 3, 3),
+                                    stride=stride, padding=padding,
+                                    subm=False, max_out=max_out,
+                                    compute_dtype=cdt)
+            out = layer(s, training,
+                        precomputed=(out_coords, out_valid, rulebook))
+            return out, {'fine_coords': coords, 'fine_valid': valid,
+                         'fine_grid': s['grid'], 'rulebook': rulebook}
+
+        # ---- encoder (same shape as VoxelBackBone8x) ----
+        rbk0 = subm_rbk(st)
+        st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
+            st, training, rulebook=rbk0)                       # conv_input
+        x_conv1 = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
+            st, training, rulebook=rbk0)                       # conv1
+        x_conv2, link2 = down(x_conv1, 32, (2, 2, 2), (1, 1, 1), caps[0])
+        rbk2 = subm_rbk(x_conv2)
+        for _ in range(2):
+            x_conv2 = SparseConvLayer(32, x_conv2['grid'], subm=True,
+                                      compute_dtype=cdt)(
+                x_conv2, training, rulebook=rbk2)
+        x_conv3, link3 = down(x_conv2, 64, (2, 2, 2), (1, 1, 1), caps[1])
+        rbk3 = subm_rbk(x_conv3)
+        for _ in range(2):
+            x_conv3 = SparseConvLayer(64, x_conv3['grid'], subm=True,
+                                      compute_dtype=cdt)(
+                x_conv3, training, rulebook=rbk3)
+        x_conv4, link4 = down(x_conv3, 64, (2, 2, 2), (0, 1, 1), caps[2])
+        rbk4 = subm_rbk(x_conv4)
+        for _ in range(2):
+            x_conv4 = SparseConvLayer(64, x_conv4['grid'], subm=True,
+                                      compute_dtype=cdt)(
+                x_conv4, training, rulebook=rbk4)
+
+        if cfg.get('RETURN_ENCODED_TENSOR', True):
+            out = SparseConvLayer(128, x_conv4['grid'], subm=False,
+                                  kernel_size=(3, 1, 1), stride=(2, 1, 1),
+                                  padding=(0, 0, 0), max_out=caps[3],
+                                  compute_dtype=cdt)(x_conv4, training)
+            dense = jax.vmap(partial(sparse_tensor_to_dense,
+                                     grid=out['grid']))(
+                out['features'], out['coords'], out['valid'])
+            batch_dict['encoded_spconv_features'] = dense
+            batch_dict['encoded_spconv_tensor_stride'] = 8
+
+        # ---- decoder: UR blocks (spconv_unet.py:135-143) ----
+        def channel_reduce(x, c_out):
+            n = x.shape[-1] // c_out
+            return x.reshape(*x.shape[:-1], c_out, n).sum(-1)
+
+        def ur_block(lateral, bottom, ch_out, link, rbk_lat, inv_ch=None):
+            """x_trans = basic_block(lateral); concat(bottom, trans) →
+            conv_m; reduce+add; inverse conv to the finer set (or subm conv5
+            at the last level when link is None)."""
+            x_trans = SparseBasicBlock(lateral['features'].shape[-1],
+                                       lateral['grid'])(
+                lateral, training, rulebook=rbk_lat)
+            cat = jnp.concatenate([bottom['features'], x_trans['features']],
+                                  axis=-1)
+            st_cat = {**lateral, 'features': cat}
+            x_m = SparseConvLayer(ch_out, lateral['grid'], subm=True,
+                                  compute_dtype=cdt)(
+                st_cat, training, rulebook=rbk_lat)
+            red = channel_reduce(cat, ch_out)
+            merged = {**lateral, 'features': x_m['features'] + red}
+            if link is None:
+                return SparseConvLayer(inv_ch or ch_out, lateral['grid'],
+                                       subm=True, compute_dtype=cdt)(
+                    merged, training, rulebook=rbk_lat)
+            return SparseInverseConvLayer(inv_ch or ch_out,
+                                          compute_dtype=cdt)(
+                merged, link['fine_coords'], link['fine_valid'],
+                link['fine_grid'], link['rulebook'], training)
+
+        x_up4 = ur_block(x_conv4, x_conv4, 64, link4, rbk4, inv_ch=64)
+        x_up3 = ur_block(x_conv3, x_up4, 64, link3, rbk3, inv_ch=32)
+        x_up2 = ur_block(x_conv2, x_up3, 32, link2, rbk2, inv_ch=16)
+        x_up1 = ur_block(x_conv1, x_up2, 16, None, rbk0, inv_ch=16)
+
+        batch_dict['point_features'] = x_up1['features']       # (B, V, 16)
+        # voxel centers in lidar frame (common_utils.get_voxel_centers)
+        vs = jnp.asarray(self.voxel_size)
+        pcr = jnp.asarray(self.point_cloud_range[:3])
+        centers = (x_up1['coords'][..., ::-1].astype(jnp.float32) + 0.5) \
+            * vs[None, None, :] + pcr[None, None, :]
+        batch_dict['point_coords'] = centers                   # (B, V, 3) xyz
+        batch_dict['point_valid'] = x_up1['valid']
+        batch_dict['multi_scale_3d_features'] = {
+            'x_conv1': x_conv1, 'x_conv2': x_conv2,
+            'x_conv3': x_conv3, 'x_conv4': x_conv4}
+        batch_dict['multi_scale_3d_strides'] = {
+            'x_conv1': 1, 'x_conv2': 2, 'x_conv3': 4, 'x_conv4': 8}
+        return batch_dict

@@ -120,25 +120,39 @@ class Detector3D(nn.Module):
     # ---- loss (pure function over the forward output) ----
     def compute_loss(self, batch_dict, reduce: bool = True):
         """Training loss. Parity: the detectors' ``get_training_loss``
-        (``pointpillar.py:26-34``, ``second_net.py:26-34``) — rpn loss from
-        the anchor head (+ point/rcnn losses for two-stage models)."""
+        (``pointpillar.py:26-34``, ``second_net.py:26-34``, ``pv_rcnn.py``,
+        ``parta2_net.py``, ``point_rcnn.py``) — rpn loss from the anchor
+        head when present (+ point/rcnn losses)."""
         from ...config import to_cfg as _to_cfg
-        dh_cfg = _to_cfg(self.model_cfg['DENSE_HEAD'])
-        if dh_cfg['NAME'] == 'CenterHead':
-            from ..dense_heads.center_head import get_center_loss
-            loss, tb = get_center_loss(batch_dict, dh_cfg.LOSS_CONFIG,
-                                       reduce=reduce)
-        else:
-            core = ahs.make_core(
-                self.model_cfg['DENSE_HEAD'], self.num_class, self.class_names,
-                np.asarray(self.grid_size), self.point_cloud_range)
-            loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
+        tb = {}
+        loss = 0.0
+        if self.model_cfg.get('DENSE_HEAD', None) is not None:
+            dh_cfg = _to_cfg(self.model_cfg['DENSE_HEAD'])
+            if dh_cfg['NAME'] == 'CenterHead':
+                from ..dense_heads.center_head import get_center_loss
+                loss, tb = get_center_loss(batch_dict, dh_cfg.LOSS_CONFIG,
+                                           reduce=reduce)
+            else:
+                core = ahs.make_core(
+                    self.model_cfg['DENSE_HEAD'], self.num_class,
+                    self.class_names, np.asarray(self.grid_size),
+                    self.point_cloud_range)
+                loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
         if 'point_cls_preds' in batch_dict and 'point_cls_labels' in batch_dict:
-            from ..point_heads.point_head_simple import get_point_loss
             from ...config import to_cfg
             ph_cfg = to_cfg(self.model_cfg['POINT_HEAD'])
-            point_loss = get_point_loss(
-                batch_dict, ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS, reduce=reduce)
+            lw = ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+            if ph_cfg['NAME'] == 'PointHeadBox':
+                from ..point_heads.point_head_box import get_point_box_loss
+                point_loss = get_point_box_loss(batch_dict, lw,
+                                                self.num_class, reduce=reduce)
+            elif ph_cfg['NAME'] == 'PointIntraPartOffsetHead':
+                from ..point_heads.point_head_box import get_point_part_loss
+                point_loss = get_point_part_loss(batch_dict, lw,
+                                                 reduce=reduce)
+            else:
+                from ..point_heads.point_head_simple import get_point_loss
+                point_loss = get_point_loss(batch_dict, lw, reduce=reduce)
             loss = loss + point_loss
             tb['point_loss'] = point_loss
         if 'roi_targets' in batch_dict:
@@ -156,7 +170,8 @@ class Detector3D(nn.Module):
 
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
-    'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint',
+    'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint', 'PartA2Net',
+    'PointRCNN',
 }
 
 

@@ -88,4 +88,12 @@ def build_point_head(point_head_cfg, model_cfg, num_class, voxel_size,
     name = point_head_cfg['NAME']
     if name == 'PointHeadSimple':
         return PointHeadSimple(model_cfg=point_head_cfg, num_class=num_class)
+    if name == 'PointHeadBox':
+        from .point_head_box import PointHeadBox
+        return PointHeadBox(model_cfg=point_head_cfg, num_class=num_class,
+                            predict_boxes_when_training=True)
+    if name == 'PointIntraPartOffsetHead':
+        from .point_head_box import PointIntraPartOffsetHead
+        return PointIntraPartOffsetHead(model_cfg=point_head_cfg,
+                                        num_class=num_class)
     raise KeyError(f'unknown point head {name}')

@@ -182,9 +182,15 @@ class PVRCNNHead(nn.Module):
 
 def build_roi_head(model_cfg, num_class, voxel_size, point_cloud_range):
     name = model_cfg['NAME']
+    # CLASS_AGNOSTIC roi heads use num_class=1 (roi_head_template)
+    agnostic = model_cfg.get('CLASS_AGNOSTIC', True)
+    nc = 1 if agnostic else num_class
     if name == 'PVRCNNHead':
-        # CLASS_AGNOSTIC roi heads use num_class=1 (roi_head_template)
-        agnostic = model_cfg.get('CLASS_AGNOSTIC', True)
-        return PVRCNNHead(model_cfg=model_cfg,
-                          num_class=1 if agnostic else num_class)
+        return PVRCNNHead(model_cfg=model_cfg, num_class=nc)
+    if name == 'PointRCNNHead':
+        from .pointrcnn_head import PointRCNNHead
+        return PointRCNNHead(model_cfg=model_cfg, num_class=nc)
+    if name == 'PartA2FCHead':
+        from .parta2_head import PartA2FCHead
+        return PartA2FCHead(model_cfg=model_cfg, num_class=nc)
     raise KeyError(f'unknown roi head {name}')

@@ -287,3 +287,25 @@ def downsample_coords(in_coords, in_valid, grid, kernel_size, stride, padding,
     out_coords = jnp.stack([oz, rem // nox, rem % nox], axis=1)
     out_coords = jnp.where(out_valid[:, None], out_coords, -1)
     return out_coords, out_valid
+
+
+@partial(jax.jit, static_argnames=('v_fine',))
+def inverse_rulebook(fwd_rulebook, v_fine: int):
+    """Invert a strided-conv rulebook for SparseInverseConv3d (UNetV2
+    decoder, reference spconv_unet.py:95 via indice_key reuse).
+
+    fwd_rulebook: (V_coarse, K) with entry [o, k] = fine input index i (or
+    −1).  Returns (V_fine, K) with entry [i, k] = o — unique because for a
+    fixed (i, k) the producing output o = (i + p − k)/s is unique.  The
+    inverse conv then runs as a plain gather-GEMM from the coarse features
+    at the fine sites with weights indexed by the SAME k (spconv transposes
+    the weight tensor internally; here the per-offset layout already
+    matches).
+    """
+    vc, k = fwd_rulebook.shape
+    o_idx = jnp.broadcast_to(jnp.arange(vc, dtype=jnp.int32)[:, None],
+                             (vc, k))
+    k_idx = jnp.broadcast_to(jnp.arange(k)[None, :], (vc, k))
+    rows = jnp.where(fwd_rulebook >= 0, fwd_rulebook, v_fine)
+    inv = jnp.full((v_fine, k), -1, jnp.int32)
+    return inv.at[rows, k_idx].set(o_idx, mode='drop')
