@@ -110,6 +110,15 @@ def main():
         logger.info('**********************End active training**********************')
         return
 
+    if cfg.get('SELF_TRAIN', None):
+        # ST3D self-training (parity: tools/train.py:222-224 cfg.SELF_TRAIN)
+        from crb_active_3ddet_tpu.runtime.self_training import train_model_st
+        train_model_st(cfg, args, batch_size, logger, output_dir, ckpt_dir,
+                       workers=args.workers, tb_log=tb_log)
+        tb_log.close()
+        logger.info('**********************End self-training**********************')
+        return
+
     train_set, train_loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
         workers=args.workers, logger=logger, training=True, seed=666)
