@@ -44,9 +44,16 @@ class AnchorHeadCore:
             model_cfg.ANCHOR_GENERATOR_CONFIG, grid_size=np.asarray(grid_size),
             point_cloud_range=point_cloud_range,
             anchor_ndim=self.box_coder.code_size)
-        self.target_assigner = AxisAlignedTargetAssigner(
-            model_cfg, class_names, box_coder=self.box_coder,
-            match_height=tgt_cfg.MATCH_HEIGHT)
+        if tgt_cfg.get('NAME', 'AxisAlignedTargetAssigner') \
+                == 'ATSSTargetAssigner':
+            from .target_assigner import ATSSTargetAssigner
+            self.target_assigner = ATSSTargetAssigner(
+                model_cfg, class_names, box_coder=self.box_coder,
+                match_height=tgt_cfg.MATCH_HEIGHT)
+        else:
+            self.target_assigner = AxisAlignedTargetAssigner(
+                model_cfg, class_names, box_coder=self.box_coder,
+                match_height=tgt_cfg.MATCH_HEIGHT)
         # flattened anchors in the (H, W, class·S·R) interleaved order — the
         # reference's torch.cat(self.anchors, dim=-3) (anchor_head_template:186)
         # Stored as NUMPY: the core is cached across jit traces, and a jnp
@@ -278,6 +285,14 @@ def build_dense_head(model_cfg, input_channels, num_class, class_names,
         return AnchorHeadSingle(
             model_cfg=model_cfg, input_channels=input_channels,
             num_class=num_class, class_names=tuple(class_names),
+            grid_size=tuple(int(g) for g in grid_size),
+            point_cloud_range=tuple(float(x) for x in point_cloud_range),
+            predict_boxes_when_training=predict_boxes_when_training)
+    if name == 'AnchorHeadMulti':
+        from .anchor_head_multi import AnchorHeadMulti
+        return AnchorHeadMulti(
+            model_cfg=model_cfg, num_class=num_class,
+            class_names=tuple(class_names),
             grid_size=tuple(int(g) for g in grid_size),
             point_cloud_range=tuple(float(x) for x in point_cloud_range),
             predict_boxes_when_training=predict_boxes_when_training)

@@ -117,3 +117,88 @@ class AxisAlignedTargetAssigner:
             reg_weights = reg_weights / num_examples
         return {'labels': labels, 'reg_targets': reg_targets,
                 'reg_weights': reg_weights}
+
+
+class ATSSTargetAssigner:
+    """Adaptive Training Sample Selection (arXiv:1912.02424).
+
+    Parity: ``pcdet/models/dense_heads/target_assigner/atss_target_assigner.py``
+    — per-gt top-k nearest anchors by center distance, adaptive IoU
+    threshold mean+std(ddof=1), candidate centers must fall inside the gt
+    footprint (the reference compares local x against dy and local y against
+    dx per its own 'bugfixed' comment — preserved verbatim), conflicts
+    resolved by max IoU, and each gt force-claims its best-IoU anchor.
+
+    Fixed shapes: gt padded (B, M, 8); invalid gts get distance=BIG and
+    IoU=0 so they never select candidates.
+    """
+
+    def __init__(self, model_cfg, class_names, box_coder, match_height=False,
+                 topk=9):
+        tgt = model_cfg.TARGET_ASSIGNER_CONFIG
+        self.topk = int(tgt.get('TOPK', topk))
+        self.box_coder = box_coder
+        self.match_height = match_height
+
+    def assign_targets(self, all_anchors, gt_boxes_with_classes):
+        from ...ops import iou3d as iou_ops
+        cat = jnp.concatenate([jnp.asarray(a) for a in all_anchors], axis=-3)
+        anchors = cat.reshape(-1, cat.shape[-1])[:, :7]
+        n = anchors.shape[0]
+
+        gt_boxes = gt_boxes_with_classes[:, :, :7]
+        gt_classes = gt_boxes_with_classes[:, :, -1].astype(jnp.int32)
+        gt_valid = jnp.abs(gt_boxes_with_classes).sum(axis=-1) > 0
+        big = jnp.float32(1e9)
+
+        def single(gt, gt_cls, valid):
+            m = gt.shape[0]
+            if self.match_height:
+                ious = iou_ops.boxes_iou3d(anchors, gt)        # (N, M)
+            else:
+                ious = iou_ops.boxes_iou_bev(anchors, gt)
+            ious = jnp.where(valid[None, :], ious, 0.0)
+            dist = jnp.linalg.norm(anchors[:, None, :3] - gt[None, :, :3],
+                                   axis=-1)
+            dist = jnp.where(valid[None, :], dist, big)
+            k = min(self.topk, n)
+            _, idx = jax.lax.top_k(-dist.T, k)                 # (M, K)
+            cand = jnp.take_along_axis(ious.T, idx, axis=1)    # (M, K)
+            mean = cand.mean(1)
+            std = cand.std(1, ddof=1)
+            thr = mean + std + 1e-6
+            is_pos = cand >= thr[:, None]
+            # candidate centers inside the gt footprint (quirk preserved)
+            cand_xyz = anchors[idx][..., :3] - gt[:, None, :3]
+            cosg = jnp.cos(-gt[:, 6])[:, None]
+            sing = jnp.sin(-gt[:, 6])[:, None]
+            lx = cand_xyz[..., 0] * cosg - cand_xyz[..., 1] * sing
+            ly = cand_xyz[..., 0] * sing + cand_xyz[..., 1] * cosg
+            lw = gt[:, 4:5], gt[:, 3:4]                        # (dy, dx)
+            in_gt = (jnp.abs(lx) <= lw[0] / 2) & (jnp.abs(ly) <= lw[1] / 2)
+            is_pos = is_pos & in_gt & valid[:, None]
+
+            pos_mask = jnp.zeros((n, m), bool).at[
+                idx, jnp.arange(m)[:, None]].max(is_pos)
+            neg_inf = jnp.float32(-1e9)
+            ious_inf = jnp.where(pos_mask, ious, neg_inf)
+            a2g_val = ious_inf.max(1)
+            a2g_idx = ious_inf.argmax(1)
+            # each gt force-claims its best anchor
+            best_anchor = jnp.where(valid, ious.argmax(0), n)
+            a2g_idx = a2g_idx.at[best_anchor].set(
+                jnp.arange(m), mode='drop')
+            a2g_val = a2g_val.at[best_anchor].set(
+                ious.max(0), mode='drop')
+
+            pos = a2g_val > neg_inf
+            cls_labels = jnp.where(pos, gt_cls[a2g_idx], 0)
+            matched = gt[a2g_idx]
+            reg_targets = jnp.where(
+                pos[:, None], self.box_coder.encode(matched, anchors), 0.0)
+            reg_weights = pos.astype(jnp.float32)
+            return cls_labels.astype(jnp.int32), reg_targets, reg_weights
+
+        cls, reg, w = jax.vmap(single)(gt_boxes, gt_classes, gt_valid)
+        return {'box_cls_labels': cls, 'box_reg_targets': reg,
+                'reg_weights': w}

@@ -125,9 +125,47 @@ class PointResidualCoder:
         return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
 
 
+class PreviousResidualDecoder:
+    """Legacy decoder (`box_coder_utils.py:80-109`): encodings ordered
+    [x, y, z, w, l, h, r] (w/l swapped vs ResidualCoder), rg = rt + ra."""
+
+    def __init__(self, code_size=7, **kwargs):
+        self.code_size = code_size
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+        xt, yt, zt, wt, lt, ht, rt = jnp.split(box_encodings[..., :7], 7, -1)
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        out = [xt * diagonal + xa, yt * diagonal + ya, zt * dza + za,
+               jnp.exp(lt) * dxa, jnp.exp(wt) * dya, jnp.exp(ht) * dza,
+               rt + ra]
+        return jnp.concatenate(out, axis=-1)
+
+
+class PreviousResidualRoIDecoder:
+    """Legacy RoI decoder (`box_coder_utils.py:112-142`): like
+    PreviousResidualDecoder but rg = ra − rt."""
+
+    def __init__(self, code_size=7, **kwargs):
+        self.code_size = code_size
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+        xt, yt, zt, wt, lt, ht, rt = jnp.split(box_encodings[..., :7], 7, -1)
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        out = [xt * diagonal + xa, yt * diagonal + ya, zt * dza + za,
+               jnp.exp(lt) * dxa, jnp.exp(wt) * dya, jnp.exp(ht) * dza,
+               ra - rt]
+        return jnp.concatenate(out, axis=-1)
+
+
 def build_box_coder(name: str, **kwargs):
     coders = {
         'ResidualCoder': ResidualCoder,
+        'PreviousResidualDecoder': PreviousResidualDecoder,
+        'PreviousResidualRoIDecoder': PreviousResidualRoIDecoder,
         'PointResidualCoder': PointResidualCoder,
     }
     return coders[name](**kwargs)
