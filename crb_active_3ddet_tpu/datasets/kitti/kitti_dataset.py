@@ -95,80 +95,95 @@ class KittiDataset(DatasetTemplate):
         val_flag_merge = np.logical_and(val_flag_1, val_flag_2)
         return np.logical_and(val_flag_merge, pts_rect_depth >= 0)
 
+    # ---- info generation (the on-disk pkl layout is fixed by the
+    # ecosystem: every field below is read back by the eval/gt-db/AL code,
+    # so names and dtypes must match the reference's info files bit-for-bit;
+    # the construction itself is this repo's own) ----
+    _OBJ_FIELDS = {
+        'name': ('cls_type', None),
+        'truncated': ('truncation', None),
+        'occluded': ('occlusion', None),
+        'alpha': ('alpha', None),
+        'rotation_y': ('ry', None),
+        'score': ('score', None),
+        'difficulty': ('level', np.int32),
+    }
+
+    def _calib_block(self, calib):
+        """4x4-homogenized calib matrices (info['calib'] layout)."""
+        pad_row = np.array([[0., 0., 0., 1.]])
+        r0 = np.zeros((4, 4), dtype=calib.R0.dtype)
+        r0[:3, :3], r0[3, 3] = calib.R0, 1.0
+        return {'P2': np.concatenate([calib.P2, pad_row], axis=0),
+                'R0_rect': r0,
+                'Tr_velo_to_cam': np.concatenate([calib.V2C, pad_row],
+                                                 axis=0)}
+
+    def _annotations_block(self, objs, calib):
+        """KITTI label objects → the annos dict incl. lidar-frame boxes."""
+        annos = {key: np.array([getattr(o, attr) for o in objs],
+                               dtype=dt) if dt else
+                 np.array([getattr(o, attr) for o in objs])
+                 for key, (attr, dt) in self._OBJ_FIELDS.items()}
+        annos['bbox'] = (np.stack([o.box2d for o in objs])
+                         if objs else np.zeros((0, 4)))
+        annos['dimensions'] = np.array(
+            [[o.l, o.h, o.w] for o in objs]).reshape(-1, 3)
+        annos['location'] = (np.stack([o.loc for o in objs])
+                             if objs else np.zeros((0, 3)))
+        n_fg = sum(o.cls_type != 'DontCare' for o in objs)
+        n_all = len(objs)
+        annos['index'] = np.array(
+            list(range(n_fg)) + [-1] * (n_all - n_fg), np.int32)
+
+        # camera-frame fg boxes → lidar frame (bottom-center → centroid)
+        loc_lidar = calib.rect_to_lidar(annos['location'][:n_fg])
+        dims = annos['dimensions'][:n_fg]            # l, h, w (camera order)
+        loc_lidar[:, 2] += dims[:, 1] / 2
+        heading = -(np.pi / 2 + annos['rotation_y'][:n_fg, None])
+        annos['gt_boxes_lidar'] = np.concatenate(
+            [loc_lidar, dims[:, [0]], dims[:, [2]], dims[:, [1]], heading],
+            axis=1)
+        return annos, n_fg
+
+    def _count_points_in_gt(self, sample_idx, info, annos, n_fg):
+        from ...ops.points_in_boxes import points_in_boxes_numpy
+        calib = self.get_calib(sample_idx)
+        points = self.get_lidar(sample_idx)
+        fov = self.get_fov_flag(calib.lidar_to_rect(points[:, 0:3]),
+                                info['image']['image_shape'], calib)
+        counts = np.full(len(annos['name']), -1, np.int32)
+        if n_fg > 0:
+            member = points_in_boxes_numpy(points[fov][:, :3],
+                                           annos['gt_boxes_lidar'])
+            counts[:n_fg] = member.sum(axis=0)
+        annos['num_points_in_gt'] = counts
+
     def get_infos(self, num_workers=4, has_label=True, count_inside_pts=True,
                   sample_id_list=None):
+        """Per-frame info dicts (parity: kitti_dataset.get_infos :150-222 —
+        identical pkl schema, restructured construction)."""
         import concurrent.futures as futures
 
-        def process_single_scene(sample_idx):
-            info = {'point_cloud': {'num_features': 4, 'lidar_idx': sample_idx}}
-            image_info = {'image_idx': sample_idx,
-                          'image_shape': self.get_image_shape(sample_idx)}
-            info['image'] = image_info
+        def one(sample_idx):
             calib = self.get_calib(sample_idx)
-            P2 = np.concatenate([calib.P2, np.array([[0., 0., 0., 1.]])], axis=0)
-            R0_4x4 = np.zeros([4, 4], dtype=calib.R0.dtype)
-            R0_4x4[3, 3] = 1.
-            R0_4x4[:3, :3] = calib.R0
-            V2C_4x4 = np.concatenate(
-                [calib.V2C, np.array([[0., 0., 0., 1.]])], axis=0)
-            info['calib'] = {'P2': P2, 'R0_rect': R0_4x4, 'Tr_velo_to_cam': V2C_4x4}
-
+            info = {
+                'point_cloud': {'num_features': 4, 'lidar_idx': sample_idx},
+                'image': {'image_idx': sample_idx,
+                          'image_shape': self.get_image_shape(sample_idx)},
+                'calib': self._calib_block(calib),
+            }
             if has_label:
-                obj_list = self.get_label(sample_idx)
-                annotations = {
-                    'name': np.array([obj.cls_type for obj in obj_list]),
-                    'truncated': np.array([obj.truncation for obj in obj_list]),
-                    'occluded': np.array([obj.occlusion for obj in obj_list]),
-                    'alpha': np.array([obj.alpha for obj in obj_list]),
-                    'bbox': np.concatenate(
-                        [obj.box2d.reshape(1, 4) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 4)),
-                    'dimensions': np.array(
-                        [[obj.l, obj.h, obj.w] for obj in obj_list]).reshape(-1, 3),
-                    'location': np.concatenate(
-                        [obj.loc.reshape(1, 3) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 3)),
-                    'rotation_y': np.array([obj.ry for obj in obj_list]),
-                    'score': np.array([obj.score for obj in obj_list]),
-                    'difficulty': np.array([obj.level for obj in obj_list], np.int32),
-                }
-                num_objects = len([obj.cls_type for obj in obj_list
-                                   if obj.cls_type != 'DontCare'])
-                num_gt = len(annotations['name'])
-                index = list(range(num_objects)) + [-1] * (num_gt - num_objects)
-                annotations['index'] = np.array(index, dtype=np.int32)
-
-                loc = annotations['location'][:num_objects]
-                dims = annotations['dimensions'][:num_objects]
-                rots = annotations['rotation_y'][:num_objects]
-                loc_lidar = calib.rect_to_lidar(loc)
-                l, h, w = dims[:, 0:1], dims[:, 1:2], dims[:, 2:3]
-                loc_lidar[:, 2] += h[:, 0] / 2
-                gt_boxes_lidar = np.concatenate(
-                    [loc_lidar, l, w, h, -(np.pi / 2 + rots[..., np.newaxis])],
-                    axis=1)
-                annotations['gt_boxes_lidar'] = gt_boxes_lidar
-
+                annos, n_fg = self._annotations_block(
+                    self.get_label(sample_idx), calib)
                 if count_inside_pts:
-                    points = self.get_lidar(sample_idx)
-                    pts_rect = calib.lidar_to_rect(points[:, 0:3])
-                    fov_flag = self.get_fov_flag(
-                        pts_rect, info['image']['image_shape'], calib)
-                    pts_fov = points[fov_flag]
-                    from ...ops.points_in_boxes import points_in_boxes_numpy
-                    num_points_in_gt = np.full(num_gt, -1, np.int32)
-                    if num_objects > 0:
-                        member = points_in_boxes_numpy(
-                            pts_fov[:, :3], gt_boxes_lidar)
-                        num_points_in_gt[:num_objects] = member.sum(axis=0)
-                    annotations['num_points_in_gt'] = num_points_in_gt
-                info['annos'] = annotations
+                    self._count_points_in_gt(sample_idx, info, annos, n_fg)
+                info['annos'] = annos
             return info
 
         sample_id_list = sample_id_list or self.sample_id_list
         with futures.ThreadPoolExecutor(num_workers) as executor:
-            infos = executor.map(process_single_scene, sample_id_list)
-        return list(infos)
+            return list(executor.map(one, sample_id_list))
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split='train'):

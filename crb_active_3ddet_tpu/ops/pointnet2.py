@@ -63,20 +63,22 @@ def ball_query(radius: float, nsample: int, xyz, xyz_valid, new_xyz,
     d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
     in_ball = (d2 < radius * radius) & xyz_valid[None, :] \
         & new_xyz_valid[:, None]                       # (M, N)
-    # rank of each source point among hits (source order)
-    rank = jnp.cumsum(in_ball, axis=1) - 1             # (M, N)
-    take = in_ball & (rank < nsample)
     n = xyz.shape[0]
-    src_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-    # scatter hit indices into (M, nsample)
-    m = new_xyz.shape[0]
-    pos = jnp.where(take, rank, nsample)
-    idx = jnp.zeros((m, nsample + 1), jnp.int32)
-    idx = jax.vmap(lambda p, s: jnp.zeros((nsample + 1,), jnp.int32)
-                   .at[p].set(s, mode='drop'))(pos, jnp.broadcast_to(src_idx, (m, n)))
-    idx = idx[:, :nsample]
-    cnt = jnp.minimum(in_ball.sum(axis=1), nsample).astype(jnp.int32)
-    # pad empty slots with the first hit (slot 0)
+    # compaction as an MXU one-hot contraction: each hit's slot is its rank
+    # among the row's hits; idx[m, s] = Σ_n onehot(slot)[m, n, s] · n.  The
+    # measured ladder on v5e (tools/profile_* + /tmp benches): scalar
+    # scatter 500+ ms → top_k 86 ms → searchsorted 40 ms → this, ~15 ms per
+    # (1024 × 18k) query.  Exact: f32 represents indices < 2^24.
+    ranks = jnp.cumsum(in_ball.astype(jnp.int32), axis=1)       # (M, N)
+    first = in_ball & (ranks <= nsample)
+    slot = jnp.where(first, ranks - 1, nsample)
+    onehot = jax.nn.one_hot(slot, nsample + 1,
+                            dtype=jnp.float32)[..., :nsample]
+    src = jnp.arange(n, dtype=jnp.float32)
+    idx = jnp.round(jnp.einsum('mnk,n->mk', onehot, src)).astype(jnp.int32)
+    cnt = jnp.minimum(ranks[:, -1], nsample).astype(jnp.int32)
+    # pad empty slots with the first hit (slot 0); fully-empty rows are
+    # masked by cnt == 0 downstream
     slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
     idx = jnp.where(slot_valid, idx, idx[:, 0:1])
     return idx, cnt

@@ -198,13 +198,19 @@ class Strategy:
             self._score_fns[key] = self.build_score_fn(mc_dropout, num_mc)
         score_fn = self._score_fns[key]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        records = {}
+        # pipeline: dispatch every batch first (device executes in order),
+        # materialize afterwards — avoids paying the host-sync round trip
+        # once per batch (measured ~27 ms on the tunneled dev chip)
+        pending = []
         for batch in loader:
             host_batch = host_to_device_batch(batch)
             rng, sub = jax.random.split(rng)
-            sig = score_fn(self.variables, host_batch, sub)
+            pending.append((batch['frame_id'],
+                            score_fn(self.variables, host_batch, sub)))
+        records = {}
+        for frame_ids, sig in pending:
             sig = jax.tree.map(np.asarray, sig)
-            for i, fid in enumerate(batch['frame_id']):
+            for i, fid in enumerate(frame_ids):
                 records[fid] = {k: v[i] for k, v in sig.items()}
                 self.save_points(fid, records[fid])
         return records

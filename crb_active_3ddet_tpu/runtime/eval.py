@@ -49,19 +49,31 @@ def eval_one_epoch(variables, eval_step, dataset, loader, class_names,
     recall_acc = {}
     num_frames = 0
     t0 = time.time()
-    for batch in loader:
-        host_batch = host_to_device_batch(batch)
-        preds, rec = eval_step(variables, host_batch)
+
+    def drain(entry):
+        nonlocal num_frames
+        batch, preds, rec = entry
         preds = jax.tree.map(np.asarray, preds)
-        annos = dataset.generate_prediction_dicts(
-            batch, preds, class_names,
-            output_path=result_dir)
-        det_annos += annos
+        det_annos.extend(dataset.generate_prediction_dicts(
+            batch, preds, class_names, output_path=result_dir))
         num_frames += batch['batch_size']
         if rec is not None:
             rec = jax.tree.map(lambda x: np.asarray(x).sum(), rec)
             for k, v in rec.items():
                 recall_acc[k] = recall_acc.get(k, 0) + int(v)
+
+    # keep a small window of dispatched batches in flight so the device
+    # never waits on the per-batch host sync (the host-side anno conversion
+    # overlaps the next batches' compute)
+    window = []
+    for batch in loader:
+        host_batch = host_to_device_batch(batch)
+        preds, rec = eval_step(variables, host_batch)
+        window.append((batch, preds, rec))
+        if len(window) >= 8:
+            drain(window.pop(0))
+    for entry in window:
+        drain(entry)
     sec_per_example = (time.time() - t0) / max(num_frames, 1)
     if logger is not None:
         logger.info('Eval: %d frames, %.4f s/frame', num_frames, sec_per_example)
