@@ -155,6 +155,14 @@ class Detector3D(nn.Module):
                 point_loss = get_point_loss(batch_dict, lw, reduce=reduce)
             loss = loss + point_loss
             tb['point_loss'] = point_loss
+        if 'roi_iou_targets' in batch_dict:
+            from ..roi_heads.second_head import get_box_iou_layer_loss
+            from ...config import to_cfg
+            roi_cfg = to_cfg(self.model_cfg['ROI_HEAD'])
+            iou_loss = get_box_iou_layer_loss(
+                batch_dict['roi_iou_targets'], roi_cfg.LOSS_CONFIG)
+            loss = loss + iou_loss
+            tb['rcnn_loss_iou'] = iou_loss
         if 'roi_targets' in batch_dict:
             from ..roi_heads import roi_head_template as rht
             from ...config import to_cfg
@@ -171,7 +179,7 @@ class Detector3D(nn.Module):
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
     'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint', 'PartA2Net',
-    'PointRCNN',
+    'PointRCNN', 'SECONDNetIoU',
 }
 
 

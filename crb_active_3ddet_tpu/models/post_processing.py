@@ -77,6 +77,42 @@ def post_processing(batch_dict, post_cfg, num_class):
     normalized = bool(batch_dict.get('cls_preds_normalized', False))
     points = batch_dict.get('points', None)
     points_valid = batch_dict.get('points_valid', None)
+
+    # IoU-head score fusion (parity: second_net_iou.post_processing
+    # SCORE_TYPE iou/cls/weighted_iou_cls/num_pts_iou_cls + SCORE_BY_CLASS)
+    score_type = post_cfg.NMS_CONFIG.get('SCORE_TYPE', None)
+    if score_type is not None and 'roi_scores' in batch_dict:
+        iou_s = cls_preds.max(-1) if normalized \
+            else jax.nn.sigmoid(cls_preds).max(-1)          # (B, R)
+        cls_s = jax.nn.sigmoid(batch_dict['roi_scores'])    # (B, R)
+        if score_type == 'iou':
+            fused = iou_s
+        elif score_type == 'cls':
+            fused = cls_s
+        elif score_type == 'weighted_iou_cls':
+            w = post_cfg.NMS_CONFIG.SCORE_WEIGHTS
+            fused = float(w['iou']) * iou_s + float(w['cls']) * cls_s
+        elif score_type == 'num_pts_iou_cls':
+            from ..ops.points_in_boxes import points_count_per_box
+            cnt = jax.vmap(points_count_per_box)(
+                points[..., :3], box_preds[..., :7],
+                points_valid).astype(jnp.float32)           # (B, R)
+            th = post_cfg.NMS_CONFIG.SCORE_THRESH
+            lo, hi = float(th['cls']), float(th['iou'])
+            alpha = jnp.clip((cnt - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+            fused = (1 - alpha) * cls_s + alpha * iou_s
+        elif score_type == 'score_by_class':
+            table = post_cfg.NMS_CONFIG.SCORE_BY_CLASS
+            use_iou = jnp.asarray(
+                [1.0 if table[c] == 'iou' else 0.0
+                 for c in post_cfg.NMS_CONFIG.CLASS_NAMES])
+            lbl = batch_dict['roi_labels'] - 1              # (B, R)
+            sel = use_iou[jnp.clip(lbl, 0)]
+            fused = sel * iou_s + (1 - sel) * cls_s
+        else:
+            raise NotImplementedError(score_type)
+        cls_preds = fused[..., None]
+        normalized = True
     has_class_labels = bool(batch_dict.get('has_class_labels', False))
     roi_labels = batch_dict.get('roi_labels', None) if has_class_labels else None
     full_cls = batch_dict.get('full_cls_scores', None)

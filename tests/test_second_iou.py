@@ -1,0 +1,74 @@
+"""SECONDNetIoU: BEV RoI-align IoU head + score fusion post-processing."""
+
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crb_active_3ddet_tpu.config import CfgNode
+from crb_active_3ddet_tpu.models.detectors import build_detector
+from crb_active_3ddet_tpu.models import post_processing as pp
+
+from test_pvrcnn_model import FakeDataset, make_batch, PVRCNN_CFG
+
+
+def second_iou_cfg():
+    cfg = CfgNode(copy.deepcopy(dict(PVRCNN_CFG)))
+    cfg.NAME = 'SECONDNetIoU'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD = CfgNode({
+        'NAME': 'SECONDHead', 'CLASS_AGNOSTIC': True,
+        'SHARED_FC': [64, 64], 'IOU_FC': [64], 'DP_RATIO': 0.3,
+        'ROI_GRID_POOL': {'GRID_SIZE': 7, 'DOWNSAMPLE_RATIO': 8},
+        'NMS_CONFIG': dict(PVRCNN_CFG.ROI_HEAD.NMS_CONFIG),
+        'TARGET_CONFIG': dict(PVRCNN_CFG.ROI_HEAD.TARGET_CONFIG),
+        'LOSS_CONFIG': {'IOU_LOSS': 'BinaryCrossEntropy',
+                        'LOSS_WEIGHTS': {'rcnn_iou_weight': 1.0}},
+    })
+    return cfg
+
+
+def test_second_iou_train_eval():
+    cfg = second_iou_cfg()
+    model = build_detector(cfg, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, training=True)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']},
+            batch, training=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(2)})
+        loss, tb = model.compute_loss(out)
+        return loss
+    loss, grads = jax.value_and_grad(loss_fn)(variables['params'])
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(
+        grads['roi_head']['iou_out']['kernel']).sum()) > 0
+
+    out = model.apply(variables, batch, training=False)
+    # eval: boxes are the rois, scores are IoU logits
+    assert out['batch_cls_preds'].shape[-1] == 1
+    assert np.allclose(np.asarray(out['batch_box_preds']),
+                       np.asarray(out['rois']))
+
+    # score fusion modes run through post_processing
+    post = CfgNode(copy.deepcopy(dict(cfg.POST_PROCESSING)))
+    for st in ('iou', 'cls', 'weighted_iou_cls', 'num_pts_iou_cls'):
+        nms = CfgNode(dict(post.NMS_CONFIG))
+        nms.SCORE_TYPE = st
+        if st == 'weighted_iou_cls':
+            nms.SCORE_WEIGHTS = {'iou': 0.7, 'cls': 0.3}
+        if st == 'num_pts_iou_cls':
+            nms.SCORE_THRESH = {'cls': 10, 'iou': 100}
+        p2 = CfgNode(dict(post))
+        p2.NMS_CONFIG = nms
+        preds = pp.post_processing(dict(out), p2, num_class=1)
+        scores = np.asarray(preds['pred_scores'])
+        valid = np.asarray(preds['pred_valid'])
+        assert np.isfinite(scores[valid]).all()
+        assert (scores[valid] <= 1.0).all() and (scores[valid] >= 0.0).all()
