@@ -64,10 +64,45 @@ class HeightCompression(nn.Module):
         return batch_dict
 
 
+class Conv2DCollapse(nn.Module):
+    """Dense voxel volume → BEV via channel concat + learned 1-conv
+    reduction (CaDDN's collapse).
+
+    Parity: ``conv2d_collapse.py`` — (B, D, H, W, C) folds depth into
+    channels then a BasicBlock2D (conv+BN+ReLU) reduces back to
+    NUM_BEV_FEATURES.
+    """
+    model_cfg: dict
+    grid_size: tuple
+
+    @nn.compact
+    def __call__(self, batch_dict, training: bool = False):
+        from ...config import to_cfg
+        cfg = to_cfg(self.model_cfg)
+        x = batch_dict['voxel_features_dense'] \
+            if 'voxel_features_dense' in batch_dict \
+            else batch_dict['encoded_spconv_features']  # (B, D, H, W, C)
+        b, d, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+        args = dict(cfg.get('ARGS', {}))
+        ksz = int(args.get('kernel_size', 1))
+        x = nn.Conv(int(cfg.NUM_BEV_FEATURES), (ksz, ksz),
+                    use_bias=bool(args.get('bias', False)))(x)
+        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                         epsilon=1e-3)(x)
+        x = nn.relu(x)
+        batch_dict['spatial_features'] = x
+        batch_dict['spatial_features_stride'] = batch_dict.get(
+            'encoded_spconv_tensor_stride', 1)
+        return batch_dict
+
+
 def build_map_to_bev(model_cfg, grid_size):
     name = model_cfg['NAME']
     if name == 'PointPillarScatter':
         return PointPillarScatter(model_cfg=model_cfg, grid_size=tuple(grid_size))
     if name == 'HeightCompression':
         return HeightCompression(model_cfg=model_cfg)
+    if name == 'Conv2DCollapse':
+        return Conv2DCollapse(model_cfg=model_cfg, grid_size=tuple(grid_size))
     raise KeyError(f'unknown map_to_bev {name}')

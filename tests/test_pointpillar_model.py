@@ -172,3 +172,19 @@ def test_dynamic_vfe_aliases():
                    'USE_ABSLOTE_XYZ': True}, 4, [0.4, 0.4, 4.0], PCR)
     assert m.get_output_feature_dim() == 4
     assert p.get_output_feature_dim() == 32
+
+
+def test_conv2d_collapse():
+    """Conv2DCollapse folds depth into channels + learned reduction."""
+    import jax
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.models.backbones_2d.map_to_bev import (
+        build_map_to_bev)
+    m = build_map_to_bev({'NAME': 'Conv2DCollapse', 'NUM_BEV_FEATURES': 32,
+                          'ARGS': {'kernel_size': 1, 'bias': False}},
+                         grid_size=(8, 8, 4))
+    x = jnp.ones((2, 4, 8, 8, 16))
+    variables = m.init(jax.random.PRNGKey(0),
+                       {'encoded_spconv_features': x}, training=False)
+    out = m.apply(variables, {'encoded_spconv_features': x}, training=False)
+    assert out['spatial_features'].shape == (2, 8, 8, 32)

@@ -68,10 +68,13 @@ def main():
         strat = build_strategy('crb', model, variables, lab_loader,
                                unlab_loader, rank=0, active_label_dir=tmp,
                                cfg=cfg)
-        # warm up compiles outside the timed window (first pool batch +
-        # first grad chunk dominate cold wall time on the tunnel)
+        # cold round (includes jit compiles), then a warm round — the warm
+        # number is the steady-state acquisition cost the AL loop pays
         t0 = time.time()
-        selected = strat.query(cur_epoch=0)
+        strat.query(cur_epoch=0)
+        cold = time.time() - t0
+        t0 = time.time()
+        selected = strat.query(cur_epoch=1)
         wall = time.time() - t0
     pool = len(unlab_set)
     per_frame_ms = wall / pool * 1e3
@@ -82,6 +85,7 @@ def main():
         'vs_baseline': round(60.0 / wall, 3),
         'pool': pool, 'select': args.select,
         'per_frame_ms': round(per_frame_ms, 2),
+        'cold_round_sec': round(cold, 2),
         'selected': len(selected),
     }
     print(json.dumps(out))

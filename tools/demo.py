@@ -62,6 +62,10 @@ def main():
                         help='folder of .bin/.npy clouds; omit for synthetic')
     parser.add_argument('--ext', type=str, default='.bin')
     parser.add_argument('--out', type=str, default=None)
+    parser.add_argument('--vis', type=str, default=None,
+                        help="'bev' saves <frame>_bev.png per frame "
+                             "(headless); 'open3d' opens the interactive "
+                             "viewer when open3d is installed")
     args = parser.parse_args()
 
     load_config(args.cfg_file, cfg)
@@ -107,6 +111,19 @@ def main():
                         len(det['boxes']),
                         [(n, round(float(s), 2))
                          for n, s in zip(det['labels'], det['scores'])])
+            if args.vis:
+                from visual_utils import vis_utils
+                n_pts = int(batch['num_points'][i])
+                scene_pts = np.asarray(batch['points'][i][:n_pts])
+                if args.vis == 'open3d':
+                    vis_utils.draw_scenes(scene_pts, ref_boxes=det['boxes'],
+                                          ref_scores=det['scores'])
+                else:
+                    path = vis_utils.draw_scenes_bev(
+                        scene_pts, ref_boxes=det['boxes'],
+                        ref_scores=det['scores'],
+                        save_path=f"{det['frame_id']}_bev.png")
+                    logger.info('wrote %s', path)
     if args.out:
         with open(args.out, 'wb') as f:
             pickle.dump(results, f)
