@@ -179,7 +179,7 @@ class Detector3D(nn.Module):
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
     'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint', 'PartA2Net',
-    'PointRCNN', 'SECONDNetIoU',
+    'PointRCNN', 'SECONDNetIoU', 'VoxelRCNN',
 }
 
 

@@ -193,6 +193,12 @@ def build_roi_head(model_cfg, num_class, voxel_size, point_cloud_range):
     if name == 'PartA2FCHead':
         from .parta2_head import PartA2FCHead
         return PartA2FCHead(model_cfg=model_cfg, num_class=nc)
+    if name == 'VoxelRCNNHead':
+        from .voxelrcnn_head import VoxelRCNNHead
+        return VoxelRCNNHead(model_cfg=model_cfg, num_class=nc,
+                             voxel_size=tuple(float(v) for v in voxel_size),
+                             point_cloud_range=tuple(
+                                 float(x) for x in point_cloud_range))
     if name == 'SECONDHead':
         from .second_head import SECONDHead
         return SECONDHead(model_cfg=model_cfg, num_class=nc,

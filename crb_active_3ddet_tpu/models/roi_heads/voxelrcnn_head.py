@@ -1,0 +1,142 @@
+"""VoxelRCNN head: RoI grid pooling by neighbor-voxel aggregation.
+
+Parity: ``pcdet/models/roi_heads/voxelrcnn_head.py`` — G³ grid points per
+ROI, per multi-scale sparse-conv source a voxel query gathers up to
+NSAMPLE non-empty voxels in a ±QUERY_RANGES window (radius-filtered), and a
+small pointnet ([rel-xyz | features] MLP + pool) aggregates them; the
+multi-scale concat feeds shared/cls/reg FC towers.
+
+TPU deltas: voxel query probes a subsampled window lattice
+(ops/voxel_query.py); the aggregation MLP runs on [rel_xyz, features]
+like our other grouping modules (the reference's NeighborVoxelSAModuleMSG
+encodes positions in a separate branch before summation — same
+information, one fused MLP here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.voxel_query import voxel_query
+from ...utils.common import get_voxel_centers
+from .pvrcnn_head import get_global_grid_points_of_roi
+from . import roi_head_template as rht
+
+
+class VoxelRCNNHead(nn.Module):
+    model_cfg: Any
+    num_class: int = 1
+    voxel_size: tuple = (0.05, 0.05, 0.1)
+    point_cloud_range: tuple = (0, -40, -3, 70.4, 40, 1)
+
+    @nn.compact
+    def __call__(self, batch_dict, training: bool = False):
+        from ...config import to_cfg
+        cfg = to_cfg(self.model_cfg)
+        nms_cfg = cfg.NMS_CONFIG['TRAIN' if training else 'TEST']
+        batch_dict = rht.proposal_layer(batch_dict, nms_cfg,
+                                        num_class_names=self.num_class)
+        if training:
+            rng = self.make_rng('dropout')
+            targets = rht.assign_targets(rng, batch_dict, cfg.TARGET_CONFIG)
+            batch_dict['rois'] = targets['rois']
+            batch_dict['roi_labels'] = targets['roi_labels']
+            batch_dict['roi_valid'] = jnp.ones(targets['rois'].shape[:2],
+                                               bool)
+
+        rois = batch_dict['rois']                          # (B, R, 7)
+        b, r = rois.shape[:2]
+        g = int(cfg.ROI_GRID_POOL.GRID_SIZE)
+        grid_pts = jax.vmap(lambda rr: get_global_grid_points_of_roi(
+            rr, g))(rois)                                  # (B, R, G³, 3)
+        grid_pts = grid_pts.reshape(b, r * g ** 3, 3)
+        vs = jnp.asarray(self.voxel_size)
+        pcr = jnp.asarray(self.point_cloud_range[:3])
+
+        pooled_all = []
+        pool_cfg = cfg.ROI_GRID_POOL.POOL_LAYERS
+        for src in cfg.ROI_GRID_POOL.FEATURES_SOURCE:
+            ms = batch_dict['multi_scale_3d_features'][src]
+            stride = int(batch_dict['multi_scale_3d_strides'][src])
+            lc = pool_cfg[src]
+            # query cells at this scale + exact voxel centers
+            cell = jnp.floor((grid_pts - pcr[None, None]) /
+                             (vs[None, None] * stride)).astype(jnp.int32)
+            cell = cell[..., ::-1]                         # x,y,z → z,y,x
+            centers = jax.vmap(partial(
+                get_voxel_centers, downsample_times=stride, voxel_size=vs,
+                point_cloud_range=jnp.asarray(self.point_cloud_range)))(
+                ms['coords'])
+            for radius, nsample, mlp in zip(lc.POOL_RADIUS, lc.NSAMPLE,
+                                            lc.MLPS):
+                qr = tuple(int(x) for x in lc.QUERY_RANGES[0])
+                idx, cnt = jax.vmap(partial(
+                    voxel_query, grid=ms['grid'], query_range=qr,
+                    radius=float(radius), nsample=int(nsample)))(
+                    cell, grid_pts, ms['coords'], ms['valid'], centers)
+                grouped_xyz = jax.vmap(
+                    lambda c, i: c[i])(centers, idx)       # (B, M, S, 3)
+                grouped_feat = jax.vmap(lambda f, i: f[i])(
+                    ms['features'], idx)                   # (B, M, S, C)
+                rel = grouped_xyz - grid_pts[:, :, None, :]
+                x = jnp.concatenate([rel, grouped_feat], axis=-1)
+                ok = cnt > 0
+                x = jnp.where(ok[..., None, None], x, 0.0)
+                for ch in mlp:
+                    x = nn.Dense(ch, use_bias=False)(x)
+                    x = nn.BatchNorm(use_running_average=not training,
+                                     momentum=0.99, epsilon=1e-3)(x)
+                    x = nn.relu(x)
+                if lc.get('POOL_METHOD', 'max_pool') == 'avg_pool':
+                    pooled = x.sum(axis=2) / jnp.clip(
+                        cnt[..., None].astype(x.dtype), 1.0)
+                else:
+                    pooled = x.max(axis=2)
+                pooled = jnp.where(ok[..., None], pooled, 0.0)
+                pooled_all.append(pooled)
+
+        ms_pooled = jnp.concatenate(pooled_all, axis=-1)   # (B, R·G³, C)
+        shared_in = ms_pooled.reshape(b * r, g ** 3 * ms_pooled.shape[-1])
+
+        dp = float(cfg.get('DP_RATIO', 0.3))
+
+        def tower(x, chans, name, dropout=True):
+            for i, ch in enumerate(chans):
+                x = nn.Dense(ch, use_bias=False, name=f'{name}_{i}')(x)
+                x = nn.BatchNorm(use_running_average=not training,
+                                 momentum=0.99, epsilon=1e-3,
+                                 name=f'{name}_bn_{i}')(x)
+                x = nn.relu(x)
+                if dropout and i != len(chans) - 1 and dp > 0:
+                    x = nn.Dropout(dp)(
+                        x, deterministic=not (training
+                                              or self.has_rng('dropout')))
+            return x
+
+        shared = tower(shared_in, tuple(cfg.SHARED_FC), 'shared_fc')
+        cls_feat = tower(shared, tuple(cfg.CLS_FC), 'cls_fc')
+        rcnn_cls = nn.Dense(self.num_class, name='cls_pred')(cls_feat)
+        reg_feat = tower(shared, tuple(cfg.REG_FC), 'reg_fc')
+        rcnn_reg = nn.Dense(7 * self.num_class, name='reg_pred')(reg_feat)
+
+        if not training:
+            batch_cls, batch_box = rht.generate_predicted_boxes(
+                rois, rcnn_cls, rcnn_reg)
+            batch_dict['batch_cls_preds'] = batch_cls
+            batch_dict['batch_box_preds'] = batch_box
+            batch_dict['cls_preds_normalized'] = False
+            batch_dict['rcnn_cls'] = rcnn_cls
+            batch_dict['rcnn_reg'] = rcnn_reg
+        else:
+            targets['rcnn_cls'] = rcnn_cls
+            targets['rcnn_reg'] = rcnn_reg
+            batch_dict['rcnn_cls'] = rcnn_cls
+            batch_dict['rcnn_reg'] = rcnn_reg
+            batch_dict['roi_targets'] = targets
+        batch_dict['shared_features'] = shared.reshape(b, r, -1)
+        return batch_dict

@@ -40,6 +40,7 @@ class CRBSampling(Strategy):
                  rank, active_label_dir, cfg):
         super().__init__(model, variables, labelled_loader, unlabelled_loader,
                          rank, active_label_dir, cfg)
+        self._grad_fns = {}
         active_cfg = cfg.ACTIVE_TRAIN.get('ACTIVE_CONFIG', {})
         self.k1 = active_cfg.get('K1', 5)
         self.k2 = active_cfg.get('K2', 3)
@@ -80,7 +81,9 @@ class CRBSampling(Strategy):
         chunk = getattr(getattr(self.unlabelled_loader, 'batch_sampler', None),
                         'batch_size', None) \
             or getattr(self.unlabelled_loader, 'batch_size', None) or 4
-        grad_fn = self._build_grad_fn(chunk)
+        if chunk not in self._grad_fns:   # re-tracing PV-RCNN costs ~30 s
+            self._grad_fns[chunk] = self._build_grad_fn(chunk)
+        grad_fn = self._grad_fns[chunk]
         rng = jax.random.PRNGKey(1)
         frame_ids, grads = [], []
         for i0 in range(0, len(k1_frames), chunk):
