@@ -98,10 +98,26 @@ class VoxelSetAbstraction(nn.Module):
         points_valid = batch_dict['points_valid']
         b = points.shape[0]
 
-        # --- keypoints via FPS over raw points (:227-281) ---
+        # --- keypoints via FPS over raw points (:227-281); SPC restricts
+        # the candidate set to roi neighborhoods first (:206-285 —
+        # sectorization is a GPU work-partitioning device, the coverage
+        # objective is met by FPS over the masked set) ---
+        cand_valid = points_valid
+        if cfg.get('SAMPLE_METHOD', 'FPS') == 'SPC' and 'rois' in batch_dict:
+            spc = cfg.SPC_SAMPLING
+            rois = batch_dict['rois']                 # (B, R, 7)
+            d = jnp.linalg.norm(
+                points[:, :, None, :3] - rois[:, None, :, 0:3], axis=-1)
+            roi_rad = jnp.linalg.norm(rois[..., 3:6] / 2, axis=-1)
+            near = (d < roi_rad[:, None, :]
+                    + float(spc.SAMPLE_RADIUS_WITH_ROI)).any(-1)
+            cand_valid = points_valid & near
+            # fall back to all points when a frame has no roi-near points
+            cand_valid = jnp.where(cand_valid.any(-1, keepdims=True),
+                                   cand_valid, points_valid)
         kp_idx = jax.vmap(partial(pn2.farthest_point_sample,
                                   num_samples=num_kp))(
-            points[..., :3], points_valid)
+            points[..., :3], cand_valid)
         keypoints = jnp.take_along_axis(points[..., :3], kp_idx[..., None],
                                         axis=1)           # (B, K, 3)
         kp_valid = jnp.take_along_axis(points_valid, kp_idx, axis=1)
@@ -120,15 +136,23 @@ class VoxelSetAbstraction(nn.Module):
             bev_feats = jax.vmap(bilinear_interpolate)(bev, x_idx, y_idx)
             feats.append(bev_feats)
 
+        def make_sa(layer_cfg, name):
+            if 'NUM_GROUPS' in layer_cfg:     # PV-RCNN++ vector pool
+                from .vector_pool import VectorPoolAggregationMSG
+                return VectorPoolAggregationMSG(config=layer_cfg, name=name)
+            return StackSAModuleMSG(
+                radii=tuple(layer_cfg.POOL_RADIUS),
+                nsamples=tuple(layer_cfg.NSAMPLE),
+                mlps=tuple(tuple(m) for m in layer_cfg.MLPS),
+                name=name)
+
         # --- raw points SA ---
         if 'raw_points' in cfg.FEATURES_SOURCE:
             raw_cfg = sa_cfg.raw_points
             raw_feats = points[..., 3:] if points.shape[-1] > 3 else None
-            sa = StackSAModuleMSG(
-                radii=tuple(raw_cfg.POOL_RADIUS),
-                nsamples=tuple(raw_cfg.NSAMPLE),
-                mlps=tuple(tuple(m) for m in raw_cfg.MLPS),
-                name='SA_rawpoints')
+            sa = make_sa(raw_cfg, 'SA_rawpoints')
+            if raw_feats is None:
+                raw_feats = jnp.zeros((*points.shape[:2], 1), points.dtype)
             feats.append(sa(points[..., :3], points_valid, keypoints, kp_valid,
                             raw_feats, training))
 
@@ -145,11 +169,7 @@ class VoxelSetAbstraction(nn.Module):
                 voxel_size=jnp.asarray(self.voxel_size),
                 point_cloud_range=jnp.asarray(self.point_cloud_range)))(
                 cur_coords)
-            sa = StackSAModuleMSG(
-                radii=tuple(sa_cfg[src].POOL_RADIUS),
-                nsamples=tuple(sa_cfg[src].NSAMPLE),
-                mlps=tuple(tuple(m) for m in sa_cfg[src].MLPS),
-                name=f'SA_{src}')
+            sa = make_sa(sa_cfg[src], f'SA_{src}')
             feats.append(sa(centers, cur_valid, keypoints, kp_valid,
                             ms['features'], training))
 

@@ -74,8 +74,8 @@ class VectorPoolAggregation(nn.Module):
         (B, M, post_mlps[-1])."""
         b, m = new_xyz.shape[:2]
         g = int(np.prod(self.num_local_voxel))
-        c_red = self.num_reduced_channels
         c_in = features.shape[-1]
+        c_red = min(self.num_reduced_channels, c_in)
         # channel reduction by grouped sum (reference channel_reduction idiom)
         if c_in > c_red:
             assert c_in % c_red == 0
@@ -93,14 +93,15 @@ class VectorPoolAggregation(nn.Module):
             _chunked_three_interpolate,
             max_dist=2.0 * float(self.max_neighbor_distance)))(
             xyz, xyz_valid, feats, centers.reshape(b, m * g, 3))
-        interp = interp.reshape(b, m, g, c_red)
+        interp = interp.reshape(b, m, g, feats.shape[-1])
         x = jnp.concatenate(
             [jnp.broadcast_to(offsets[None, None], (b, m, g, 3)), interp],
             axis=-1)                                   # (B, M, G, 3+C)
 
         # separate learned kernel per sub-voxel position (grouped 1x1 conv)
         w = self.param('local_kernel', nn.initializers.kaiming_normal(),
-                       (g, 3 + c_red, self.num_channels_of_local_aggregation))
+                       (g, 3 + feats.shape[-1],
+                        self.num_channels_of_local_aggregation))
         x = jnp.einsum('bmgc,gco->bmgo', x, w)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          epsilon=1e-3)(x)

@@ -18,6 +18,7 @@ from typing import Any
 
 import numpy as np
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ..backbones_3d.vfe import build_vfe
 from ..backbones_2d import build_backbone_2d, build_map_to_bev
@@ -107,6 +108,14 @@ class Detector3D(nn.Module):
             idx = modules.index('backbone_2d')
             modules.insert(idx, 'pfe')
 
+        if cfg.NAME == 'PVRCNNPlusPlus':
+            # proposals come BEFORE keypoint sampling so SPC can center on
+            # them (reference pv_rcnn_plusplus.py:9-31)
+            modules = [m for m in ('vfe', 'backbone_3d', 'map_to_bev',
+                                   'backbone_2d', 'dense_head',
+                                   'roi_proposal', 'pfe', 'point_head',
+                                   'roi_head') if m == 'roi_proposal'
+                       or m in modules]
         self.module_topology = tuple(modules)
 
     def __call__(self, batch_dict, training: bool = False):
@@ -114,7 +123,31 @@ class Detector3D(nn.Module):
         # across jit traces (the reference mutates batch_dict freely; we copy)
         batch_dict = dict(batch_dict)
         for name in self.module_topology:
+            if name == 'roi_proposal':
+                batch_dict = self._early_roi_proposal(batch_dict, training)
+                continue
             batch_dict = getattr(self, name)(batch_dict, training=training)
+        return batch_dict
+
+    def _early_roi_proposal(self, batch_dict, training):
+        """PVRCNNPlusPlus: run proposal NMS + target assignment before the
+        PFE so SPC keypoint sampling can center on the rois."""
+        from ...config import to_cfg
+        from ..roi_heads import roi_head_template as rht
+        roi_cfg = to_cfg(self.model_cfg['ROI_HEAD'])
+        nms_cfg = roi_cfg.NMS_CONFIG['TRAIN' if training else 'TEST']
+        nc = 1 if roi_cfg.get('CLASS_AGNOSTIC', True) else self.num_class
+        batch_dict = rht.proposal_layer(batch_dict, nms_cfg,
+                                        num_class_names=nc)
+        if training:
+            rng = self.make_rng('dropout')
+            targets = rht.assign_targets(rng, batch_dict,
+                                         roi_cfg.TARGET_CONFIG)
+            batch_dict['rois'] = targets['rois']
+            batch_dict['roi_labels'] = targets['roi_labels']
+            batch_dict['roi_valid'] = jnp.ones(targets['rois'].shape[:2],
+                                               bool)
+            batch_dict['roi_targets_dict'] = targets
         return batch_dict
 
     # ---- loss (pure function over the forward output) ----
@@ -179,7 +212,7 @@ class Detector3D(nn.Module):
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
     'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint', 'PartA2Net',
-    'PointRCNN', 'SECONDNetIoU', 'VoxelRCNN',
+    'PointRCNN', 'SECONDNetIoU', 'VoxelRCNN', 'PVRCNNPlusPlus',
 }
 
 

@@ -50,17 +50,21 @@ class PVRCNNHead(nn.Module):
     def __call__(self, batch_dict, training: bool = False):
         from ...config import to_cfg
         cfg = to_cfg(self.model_cfg)
-        nms_cfg = cfg.NMS_CONFIG['TRAIN' if training else 'TEST']
-        batch_dict = rht.proposal_layer(batch_dict, nms_cfg,
-                                        num_class_names=self.num_class)
-
-        if training:
-            rng = self.make_rng('dropout')
-            targets = rht.assign_targets(rng, batch_dict, cfg.TARGET_CONFIG)
-            batch_dict['rois'] = targets['rois']
-            batch_dict['roi_labels'] = targets['roi_labels']
-            batch_dict['roi_valid'] = jnp.ones(
-                targets['rois'].shape[:2], bool)
+        if 'rois' not in batch_dict:
+            nms_cfg = cfg.NMS_CONFIG['TRAIN' if training else 'TEST']
+            batch_dict = rht.proposal_layer(batch_dict, nms_cfg,
+                                            num_class_names=self.num_class)
+            if training:
+                rng = self.make_rng('dropout')
+                targets = rht.assign_targets(rng, batch_dict,
+                                             cfg.TARGET_CONFIG)
+                batch_dict['rois'] = targets['rois']
+                batch_dict['roi_labels'] = targets['roi_labels']
+                batch_dict['roi_valid'] = jnp.ones(
+                    targets['rois'].shape[:2], bool)
+        elif training:
+            # PVRCNN++ ran the proposal stage before the PFE
+            targets = batch_dict['roi_targets_dict']
 
         rois = batch_dict['rois']               # (B, R, 7)
         b, r = rois.shape[:2]
@@ -77,11 +81,16 @@ class PVRCNNHead(nn.Module):
         grid_pts = grid_pts.reshape(b, r * grid_size ** 3, 3)
         grid_valid = jnp.ones(grid_pts.shape[:2], bool)
 
-        pool = StackSAModuleMSG(
-            radii=tuple(cfg.ROI_GRID_POOL.POOL_RADIUS),
-            nsamples=tuple(cfg.ROI_GRID_POOL.NSAMPLE),
-            mlps=tuple(tuple(m) for m in cfg.ROI_GRID_POOL.MLPS),
-            name='roi_grid_pool')
+        if 'NUM_GROUPS' in cfg.ROI_GRID_POOL:   # PV-RCNN++ vector pool
+            from ..backbones_3d.vector_pool import VectorPoolAggregationMSG
+            pool = VectorPoolAggregationMSG(config=cfg.ROI_GRID_POOL,
+                                            name='roi_grid_pool')
+        else:
+            pool = StackSAModuleMSG(
+                radii=tuple(cfg.ROI_GRID_POOL.POOL_RADIUS),
+                nsamples=tuple(cfg.ROI_GRID_POOL.NSAMPLE),
+                mlps=tuple(tuple(m) for m in cfg.ROI_GRID_POOL.MLPS),
+                name='roi_grid_pool')
         pooled = pool(point_coords, point_valid, grid_pts, grid_valid,
                       point_features, training)          # (B, R·G³, C)
         c_out = pooled.shape[-1]

@@ -73,3 +73,66 @@ def test_vector_pool_msg_forward():
     out2 = mod.apply(variables, xyz, xyz_valid, new_xyz, nv, feats,
                      training=False)
     assert np.allclose(np.asarray(out2)[0, 0], 0.0)
+
+
+def test_pvrcnn_plusplus_train_eval():
+    """PVRCNNPlusPlus: early proposals + SPC keypoints + vector-pool VSA and
+    RoI grid pooling."""
+    import copy
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+    from test_pvrcnn_model import FakeDataset, make_batch, PVRCNN_CFG
+
+    cfg = CfgNode(copy.deepcopy(dict(PVRCNN_CFG)))
+    cfg.NAME = 'PVRCNNPlusPlus'
+    vp_layer = {
+        'NUM_GROUPS': 1, 'NUM_REDUCED_CHANNELS': 2,
+        'NUM_CHANNELS_OF_LOCAL_AGGREGATION': 8,
+        'LOCAL_AGGREGATION_TYPE': 'local_interpolation',
+        'GROUP_CFG_0': {'NUM_LOCAL_VOXEL': [2, 2, 2],
+                        'MAX_NEIGHBOR_DISTANCE': 0.8,
+                        'NEIGHBOR_NSAMPLE': -1, 'POST_MLPS': [16, 16]},
+        'MSG_POST_MLPS': [16],
+    }
+    cfg.PFE = CfgNode({
+        'NAME': 'VoxelSetAbstraction', 'POINT_SOURCE': 'raw_points',
+        'NUM_KEYPOINTS': 64, 'NUM_OUTPUT_FEATURES': 32,
+        'SAMPLE_METHOD': 'SPC',
+        'SPC_SAMPLING': {'NUM_SECTORS': 6, 'SAMPLE_RADIUS_WITH_ROI': 1.6},
+        'FEATURES_SOURCE': ['bev', 'x_conv3', 'raw_points'],
+        'SA_LAYER': {
+            'raw_points': CfgNode(dict(vp_layer)),
+            'x_conv3': CfgNode({**copy.deepcopy(vp_layer),
+                                'NUM_REDUCED_CHANNELS': 16,
+                                'DOWNSAMPLE_FACTOR': 4}),
+        }})
+    roi = CfgNode(copy.deepcopy(dict(cfg.ROI_HEAD)))
+    roi.ROI_GRID_POOL = CfgNode({
+        'GRID_SIZE': 4,
+        **copy.deepcopy(vp_layer), 'NUM_REDUCED_CHANNELS': 16,
+    })
+    cfg.ROI_HEAD = roi
+
+    model = build_detector(cfg, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, training=True)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']},
+            batch, training=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(2)})
+        loss, _ = model.compute_loss(out)
+        return loss
+    loss, grads = jax.value_and_grad(loss_fn)(variables['params'])
+    assert np.isfinite(float(loss))
+    # grads reach the vector-pool kernels in the pfe
+    g = grads['pfe']
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert total > 0
+
+    out = model.apply(variables, batch, training=False)
+    assert out['batch_box_preds'].shape[-1] == 7
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+    assert 'rcnn_cls' in out
