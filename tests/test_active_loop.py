@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.datasets import build_active_dataloader
 from crb_active_3ddet_tpu.models.detectors import build_detector
@@ -13,6 +14,8 @@ from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
 
 from test_train_loop import tiny_data_cfg
 from test_pointpillar_model import MODEL_CFG
+
+pytestmark = pytest.mark.slow
 
 
 def make_cfg(method='random', select_nums=2):

@@ -5,10 +5,13 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.models.detectors import build_detector
 from crb_active_3ddet_tpu.models import post_processing as pp
 from test_pointpillar_model import FakeDataset, make_batch, MODEL_CFG, GRID
+
+pytestmark = pytest.mark.slow
 
 
 def centerpoint_cfg():

@@ -2,6 +2,7 @@
 
 import copy
 
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,8 @@ from crb_active_3ddet_tpu.models.detectors import build_detector
 
 from test_pvrcnn_model import FakeDataset, make_batch
 from test_pointpillar_model import MODEL_CFG
+
+pytestmark = pytest.mark.slow
 
 
 def _anchor_cfg(name, size, height):

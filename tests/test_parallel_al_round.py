@@ -10,6 +10,7 @@ import jax
 import numpy as np
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.datasets import build_active_dataloader
 from crb_active_3ddet_tpu.models.detectors import build_detector
@@ -21,6 +22,8 @@ from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
 
 from test_train_loop import tiny_data_cfg
 from test_pointpillar_model import MODEL_CFG
+
+pytestmark = pytest.mark.slow
 
 BATCH = 8
 

@@ -5,12 +5,15 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.models.detectors import build_detector
 from crb_active_3ddet_tpu.ops import voxelize as vx
 
 from test_pvrcnn_model import (PCR, VOXEL_SIZE, GRID, FakeDataset,
                                make_batch, PVRCNN_CFG)
+
+pytestmark = pytest.mark.slow
 
 ROI_COMMON = {
     'NMS_CONFIG': {

@@ -5,10 +5,13 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.models.detectors import build_detector
 from crb_active_3ddet_tpu.models import post_processing as pp
 from crb_active_3ddet_tpu.ops import voxelize as vx
+
+pytestmark = pytest.mark.slow
 
 PCR = [0.0, -6.4, -3.0, 12.8, 6.4, 1.0]
 VOXEL_SIZE = [0.4, 0.4, 0.1]

@@ -2,10 +2,13 @@
 
 import logging
 
+
 import numpy as np
 import pytest
 
 from test_active_loop import make_cfg
+
+pytestmark = pytest.mark.slow
 
 
 def test_active_loop_resume(tmp_path):

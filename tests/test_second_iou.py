@@ -1,6 +1,8 @@
 """SECONDNetIoU: BEV RoI-align IoU head + score fusion post-processing."""
 
+import pytest
 import copy
+
 
 import numpy as np
 import jax
@@ -11,6 +13,8 @@ from crb_active_3ddet_tpu.models.detectors import build_detector
 from crb_active_3ddet_tpu.models import post_processing as pp
 
 from test_pvrcnn_model import FakeDataset, make_batch, PVRCNN_CFG
+
+pytestmark = pytest.mark.slow
 
 
 def second_iou_cfg():

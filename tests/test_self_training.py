@@ -3,11 +3,14 @@
 import numpy as np
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.runtime import self_training as st
 
 from test_train_loop import tiny_data_cfg
 from test_pointpillar_model import MODEL_CFG
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(autouse=True)

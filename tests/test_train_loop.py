@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import pytest
 
+
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.datasets import build_dataloader
 from crb_active_3ddet_tpu.models.detectors import build_detector
@@ -11,6 +12,8 @@ from crb_active_3ddet_tpu.runtime import train as train_rt
 from crb_active_3ddet_tpu.runtime import eval as eval_rt
 from crb_active_3ddet_tpu.runtime import checkpoint as ckpt_rt
 from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_data_cfg(training_scenes=8):

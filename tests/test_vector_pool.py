@@ -1,8 +1,12 @@
 """Vector-pool aggregation (PV-RCNN++ local feature op)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import jax
 import jax.numpy as jnp
+
 
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.models.backbones_3d.vector_pool import (

@@ -2,11 +2,14 @@
 
 import pickle
 
+
 import numpy as np
 import pytest
 
 from crb_active_3ddet_tpu.config import CfgNode
 from crb_active_3ddet_tpu.datasets.waymo.waymo_dataset import WaymoDataset
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture()
