@@ -56,6 +56,12 @@ class DatasetTemplate(torch_data.Dataset):
         self.grid_size = self.data_processor.grid_size
         self.voxel_size = self.data_processor.voxel_size
         self.voxel_cfg = self.data_processor.voxel_cfg
+        self.depth_downsample_factor = getattr(
+            self.data_processor, 'depth_downsample_factor', None)
+        # fixed-shape image buffer (reference pads per-batch to the max size
+        # in collate_batch, dataset.py:193-220; TPU needs one static shape)
+        self.image_pad_shape = tuple(
+            self.dataset_cfg.get('IMAGE_PAD_SHAPE', (384, 1248)))
         self.max_gt_boxes = int(self.dataset_cfg.get('MAX_GT_BOXES', MAX_GT_BOXES))
         self.total_epochs = 0
         self._merge_all_iters_to_one_epoch = False
@@ -124,6 +130,28 @@ class DatasetTemplate(torch_data.Dataset):
             out = np.zeros((self.max_gt_boxes, gt.shape[1]), np.float32)
             out[:len(gt)] = gt
             data_dict['gt_boxes'] = out
+        if data_dict.get('gt_boxes2d', None) is not None:
+            b2 = np.asarray(data_dict['gt_boxes2d'],
+                            np.float32)[:self.max_gt_boxes]
+            out2 = np.zeros((self.max_gt_boxes, 4), np.float32)
+            out2[:len(b2)] = b2
+            data_dict['gt_boxes2d'] = out2
+
+        # fixed-shape NaN padding for camera inputs (collate parity above)
+        if data_dict.get('images', None) is not None:
+            ph, pw = self.image_pad_shape
+            img = np.asarray(data_dict['images'], np.float32)[:ph, :pw]
+            out_img = np.full((ph, pw, img.shape[2]), np.nan, np.float32)
+            out_img[:img.shape[0], :img.shape[1]] = img
+            data_dict['images'] = out_img
+        if data_dict.get('depth_maps', None) is not None:
+            f = self.depth_downsample_factor or 1
+            ph, pw = -(-self.image_pad_shape[0] // f), \
+                -(-self.image_pad_shape[1] // f)
+            dm = np.asarray(data_dict['depth_maps'], np.float32)[:ph, :pw]
+            out_dm = np.full((ph, pw), np.nan, np.float32)
+            out_dm[:dm.shape[0], :dm.shape[1]] = dm
+            data_dict['depth_maps'] = out_dm
 
         data_dict.pop('gt_names', None)
         return data_dict

@@ -68,6 +68,18 @@ class KittiDataset(DatasetTemplate):
         img_file = self.root_split_path / 'image_2' / f'{idx}.png'
         return np.array(Image.open(img_file).size[::-1], dtype=np.int32)
 
+    def get_image(self, idx):
+        """(H, W, 3) float32 RGB in [0, 1] (parity :68-80)."""
+        from PIL import Image
+        img_file = self.root_split_path / 'image_2' / f'{idx}.png'
+        return np.asarray(Image.open(img_file), np.float32) / 255.0
+
+    def get_depth_map(self, idx):
+        """(H, W) float32 depth in meters (parity :93-106, uint16/256)."""
+        from PIL import Image
+        depth_file = self.root_split_path / 'depth_2' / f'{idx}.png'
+        return np.asarray(Image.open(depth_file), np.float32) / 256.0
+
     def get_label(self, idx):
         label_file = self.root_split_path / 'label_2' / f'{idx}.txt'
         return object3d_kitti.get_objects_from_label(label_file)
@@ -340,6 +352,18 @@ class KittiDataset(DatasetTemplate):
                 fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
                 points = points[fov_flag]
             input_dict['points'] = points
+
+        if 'images' in get_item_list:
+            input_dict['images'] = self.get_image(sample_idx)
+        if 'depth_maps' in get_item_list:
+            input_dict['depth_maps'] = self.get_depth_map(sample_idx)
+        if 'calib_matricies' in get_item_list:
+            # kitti_utils.calib_to_matricies (:52-66): V2R = R0_4x4 @ V2C_4x4
+            v2c = np.vstack([calib.V2C, [0, 0, 0, 1]]).astype(np.float32)
+            r0 = np.eye(4, dtype=np.float32)
+            r0[:3, :3] = calib.R0
+            input_dict['trans_lidar_to_cam'] = r0 @ v2c
+            input_dict['trans_cam_to_img'] = calib.P2.astype(np.float32)
 
         data_dict = self.prepare_data(data_dict=input_dict)
         data_dict['image_shape'] = img_shape

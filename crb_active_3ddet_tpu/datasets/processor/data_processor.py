@@ -121,6 +121,55 @@ class DataProcessor:
             return partial(self.transform_points_to_voxels, config=config)
         return data_dict
 
+    def transform_points_to_voxels_placeholder(self, data_dict=None,
+                                               config=None):
+        """Parity: ``data_processor.py:105-113`` — dynamic-VFE configs set
+        only the grid geometry.  Our pipeline still voxelizes on device (the
+        dynamic VFEs consume the uncapped ``point_slot``), so a minimal
+        voxel_cfg is recorded with K=1 (the capped (V, K, C) buffer is unused
+        by Dyn* VFEs)."""
+        if data_dict is None:
+            self.voxel_size = np.asarray(config.VOXEL_SIZE, np.float32)
+            self.grid_size = np.asarray(grid_size_from_range(
+                self.point_cloud_range, self.voxel_size), np.int64)
+            self.voxel_cfg = {
+                'voxel_size': tuple(float(v) for v in config.VOXEL_SIZE),
+                'max_points_per_voxel': 1,
+                'max_voxels': int(config.get('MAX_NUMBER_OF_VOXELS', {
+                    'train': 40000, 'test': 40000})[self.mode]) if
+                'MAX_NUMBER_OF_VOXELS' in config else 40000,
+            }
+            return partial(self.transform_points_to_voxels_placeholder,
+                           config=config)
+        return data_dict
+
+    def calculate_grid_size(self, data_dict=None, config=None):
+        """Parity: ``data_processor.py:177-183`` — set grid geometry without
+        voxelizing (camera-only models, CaDDN)."""
+        if data_dict is None:
+            self.voxel_size = np.asarray(config.VOXEL_SIZE, np.float32)
+            grid = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) \
+                / self.voxel_size
+            self.grid_size = np.round(grid).astype(np.int64)
+            return partial(self.calculate_grid_size, config=config)
+        return data_dict
+
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Parity: ``data_processor.py:185-194`` — local-mean downscale of
+        the depth map (skimage ``downscale_local_mean`` equivalent)."""
+        if data_dict is None:
+            self.depth_downsample_factor = int(config.DOWNSAMPLE_FACTOR)
+            return partial(self.downsample_depth_map, config=config)
+        d = np.asarray(data_dict['depth_maps'], np.float32)
+        f = self.depth_downsample_factor
+        ph = (-d.shape[0]) % f
+        pw = (-d.shape[1]) % f
+        if ph or pw:   # downscale_local_mean zero-pads partial blocks
+            d = np.pad(d, ((0, ph), (0, pw)))
+        data_dict['depth_maps'] = d.reshape(
+            d.shape[0] // f, f, d.shape[1] // f, f).mean(axis=(1, 3))
+        return data_dict
+
     def pad_points_to_fixed(self, data_dict):
         """Pad/truncate points to (max_points_per_frame, C) + num_points."""
         points = data_dict['points']
@@ -135,4 +184,6 @@ class DataProcessor:
     def forward(self, data_dict):
         for processor in self.data_processor_queue:
             data_dict = processor(data_dict=data_dict)
-        return self.pad_points_to_fixed(data_dict)
+        if data_dict.get('points', None) is not None:
+            data_dict = self.pad_points_to_fixed(data_dict)
+        return data_dict

@@ -18,6 +18,7 @@ from .dataset import DatasetTemplate
 
 CLASS_SIZES = {
     'Car': (3.9, 1.6, 1.56, -1.0),
+    'Vehicle': (4.7, 2.1, 1.7, -0.8),     # waymo-style class name
     'Pedestrian': (0.8, 0.6, 1.73, -0.8),
     'Cyclist': (1.76, 0.6, 1.73, -0.8),
 }
@@ -98,7 +99,61 @@ class SyntheticDataset(DatasetTemplate):
             'gt_names': gt_names,
             'frame_id': sample_id,
         }
+        get_item_list = set(self.dataset_cfg.get('GET_ITEM_LIST', ['points']))
+        if 'images' in get_item_list:
+            input_dict.update(self._make_camera(sample_id, points, gt_boxes))
+            if 'points' not in get_item_list:
+                input_dict.pop('points')
         return self.prepare_data(input_dict)
+
+    def _make_camera(self, sample_id, points, gt_boxes):
+        """Fabricated camera frame for CaDDN-shaped models: KITTI-style
+        lidar→cam axis permutation, pinhole intrinsics, image from smooth
+        noise, depth map from projected scene points, boxes2d from projected
+        3D corners."""
+        rng = np.random.RandomState(self.seed + 7 + int(sample_id))
+        h, w = (int(x) for x in self.dataset_cfg.get('IMAGE_SHAPE', (96, 320)))
+        # lidar (x fwd, y left, z up) → cam (x right, y down, z fwd)
+        l2c = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                        [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+        f = w * 0.8
+        p2 = np.array([[f, 0, w / 2, 0], [0, f, h / 2, 0], [0, 0, 1, 0]],
+                      np.float32)
+        image = rng.rand(h // 8, w // 8, 3).astype(np.float32)
+        image = np.repeat(np.repeat(image, 8, 0), 8, 1)
+
+        cam = (l2c[:3, :3] @ points[:, :3].T).T
+        uvw = (p2[:, :3] @ cam.T).T
+        depth_map = np.full((h, w), np.nan, np.float32)
+        zs = uvw[:, 2]
+        okz = zs > 0.5
+        us = (uvw[okz, 0] / zs[okz]).astype(np.int64)
+        vs = (uvw[okz, 1] / zs[okz]).astype(np.int64)
+        okp = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+        depth_map[vs[okp], us[okp]] = zs[okz][okp]
+        depth_map = np.where(np.isnan(depth_map),
+                             rng.uniform(2, 40, (h, w)).astype(np.float32),
+                             depth_map)
+
+        boxes2d = []
+        from ..utils import box_utils
+        corners = box_utils.boxes_to_corners_3d(gt_boxes[:, :7]) \
+            if len(gt_boxes) else np.zeros((0, 8, 3))
+        for c in corners:
+            cc = (l2c[:3, :3] @ c.T).T
+            uv = (p2[:, :3] @ cc.T).T
+            z = np.clip(uv[:, 2], 0.1, None)
+            u, v = uv[:, 0] / z, uv[:, 1] / z
+            boxes2d.append([max(u.min(), 0), max(v.min(), 0),
+                            min(u.max(), w - 1), min(v.max(), h - 1)])
+        return {
+            'images': image,
+            'depth_maps': depth_map,
+            'trans_lidar_to_cam': l2c,
+            'trans_cam_to_img': p2,
+            'image_shape': np.array([h, w], np.int32),
+            'gt_boxes2d': np.asarray(boxes2d, np.float32).reshape(-1, 4),
+        }
 
     def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,
                                   output_path=None):

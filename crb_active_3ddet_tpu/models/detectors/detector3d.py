@@ -171,6 +171,15 @@ class Detector3D(nn.Module):
                     self.class_names, np.asarray(self.grid_size),
                     self.point_cloud_range)
                 loss, tb = ahs.get_loss(batch_dict, core, reduce=reduce)
+        if 'depth_logits' in batch_dict and 'depth_maps' in batch_dict:
+            # CaDDN: loss = loss_rpn + loss_depth (caddn.py:25-38)
+            from ..backbones_3d.image_vfe import get_ddn_loss
+            vfe_cfg = _to_cfg(self.model_cfg['VFE'])
+            depth_loss, depth_tb = get_ddn_loss(
+                batch_dict, vfe_cfg.FFN,
+                int(vfe_cfg.get('DOWNSAMPLE_FACTOR', 4)))
+            loss = loss + depth_loss
+            tb.update(depth_tb)
         if 'point_cls_preds' in batch_dict and 'point_cls_labels' in batch_dict:
             from ...config import to_cfg
             ph_cfg = to_cfg(self.model_cfg['POINT_HEAD'])
@@ -212,7 +221,7 @@ class Detector3D(nn.Module):
 _DETECTOR_NAMES = {
     # all share the generic topology driver; names kept for config parity
     'PointPillar', 'SECONDNet', 'PVRCNN', 'CenterPoint', 'PartA2Net',
-    'PointRCNN', 'SECONDNetIoU', 'VoxelRCNN', 'PVRCNNPlusPlus',
+    'PointRCNN', 'SECONDNetIoU', 'VoxelRCNN', 'PVRCNNPlusPlus', 'CaDDN',
 }
 
 

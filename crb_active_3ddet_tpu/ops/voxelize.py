@@ -103,11 +103,19 @@ def voxelize(points, points_valid, point_cloud_range, voxel_size,
         czyx, mode='drop')
 
     voxel_valid = jnp.arange(max_voxels) < jnp.minimum(num_voxels_total, max_voxels)
+
+    # per-ORIGINAL-point voxel slot, uncapped by max_points_per_voxel —
+    # the dynamic VFEs (scatter over ALL in-range points, reference
+    # dynamic_mean_vfe.py:52-66) segment-reduce over this
+    point_slot = jnp.full((n,), max_voxels, jnp.int32).at[order].set(
+        jnp.where(voxel_ok, slot, max_voxels).astype(jnp.int32))
+
     return {
         'voxels': voxels,
         'voxel_coords': voxel_coords,
         'voxel_num_points': voxel_num_points,
         'voxel_valid': voxel_valid,
+        'point_slot': point_slot,
         'num_voxels': jnp.minimum(num_voxels_total, max_voxels).astype(jnp.int32),
     }
 

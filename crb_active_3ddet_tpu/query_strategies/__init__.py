@@ -14,12 +14,14 @@ from .montecarlo_sampling import MonteCarloSampling
 from .coreset_sampling import CoresetSampling
 from .llal_sampling import LLALSampling
 from .badge_sampling import BadgeSampling
+from .bald_sampling import BALDSampling
 from .crb_sampling import CRBSampling
 
 __factory = {
     'random': RandomSampling,
     'entropy': EntropySampling,
     'badge': BadgeSampling,
+    'bald': BALDSampling,
     'coreset': CoresetSampling,
     'llal': LLALSampling,
     'montecarlo': MonteCarloSampling,

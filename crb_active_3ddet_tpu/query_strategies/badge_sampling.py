@@ -68,9 +68,11 @@ class BadgeSampling(Strategy):
             # pass 1: pool scan for bookkeeping + hypothetical rpn labels
             records = self.scan_pool()
             hyp = {}
+            rng = jax.random.PRNGKey(17)
             for batch in self.unlabelled_loader:
                 host_batch = host_to_device_batch(batch)
-                out = self._rpn_labels(host_batch)
+                rng, sub = jax.random.split(rng)
+                out = self._rpn_labels(host_batch, rng=sub)
                 for i, fid in enumerate(batch['frame_id']):
                     hyp[fid] = np.asarray(out[i])
             # pass 2: per-frame grads (batch-1)
@@ -93,8 +95,13 @@ class BadgeSampling(Strategy):
         return [frame_ids[i] for i in selected_idx]
 
     # -- helpers --
-    def _rpn_labels(self, host_batch):
-        """argmax per-anchor class of the rpn head (pass-1 hypothetical)."""
+    def _rpn_labels(self, host_batch, rng=None):
+        """argmax per-anchor class of the rpn head (pass-1 hypothetical).
+
+        Parity: the reference runs pass 1 with ``model.eval()`` +
+        ``enable_dropout`` (badge_sampling.py:45-59,73-88) — eval-mode BN but
+        LIVE dropout.  Here: training=False with a 'dropout' rng, which our
+        modules read as deterministic=False (``has_rng('dropout')``)."""
         if not hasattr(self, '_rpn_label_fn'):
             dataset = self.unlabelled_set
             model = self.model
@@ -104,15 +111,18 @@ class BadgeSampling(Strategy):
             vs = tuple(float(v) for v in dataset.voxel_size)
 
             @jax.jit
-            def fn(variables, hb):
+            def fn(variables, hb, r):
                 batch = prepare_device_batch(hb, voxel_cfg, grid_size, pcr, vs)
-                out = model.apply(variables, batch, training=False)
+                out = model.apply(variables, batch, training=False,
+                                  rngs={'dropout': r})
                 b = out['rpn_preds'].shape[0]
                 logits = out['rpn_preds'].reshape(b, -1, self.num_class)
                 return logits.argmax(-1).astype(jnp.int32)
 
             self._rpn_label_fn = fn
-        return self._rpn_label_fn(self.variables, host_batch)
+        if rng is None:
+            rng = jax.random.PRNGKey(17)
+        return self._rpn_label_fn(self.variables, host_batch, rng)
 
     def _load_single(self, frame_id):
         """Batch-1 host batch for one frame id (eval-mode pipeline)."""

@@ -124,6 +124,11 @@ class Strategy:
                     out['batch_cls_preds'] = (
                         jax.scipy.special.logit(
                             jnp.clip(out['mc_cls_mean'], 1e-6, 1 - 1e-6)))
+            elif mc_dropout:
+                # single dropout-live forward (BALD: model.eval() +
+                # enable_dropout, bald_sampling.py:23-25, one pass)
+                out = model.apply(variables, batch, training=False,
+                                  rngs={'dropout': rng})
             else:
                 out = model.apply(variables, batch, training=False)
 

@@ -32,29 +32,41 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+_CAMERA_KEYS = ('images', 'depth_maps', 'trans_lidar_to_cam',
+                'trans_cam_to_img', 'image_shape', 'gt_boxes2d')
+
+
 def prepare_device_batch(batch, voxel_cfg, grid_size, point_cloud_range,
                          voxel_size):
     """Host numpy batch → device arrays + fused per-sample voxelization.
-    Jit-compatible (called inside the train/eval step)."""
-    points = batch['points']            # (B, N, C)
-    num_points = batch['num_points']    # (B,)
-    n = points.shape[1]
-    points_valid = jnp.arange(n)[None, :] < num_points[:, None]
+    Jit-compatible (called inside the train/eval step).  Camera-only models
+    (CaDDN) carry no points/voxel_cfg — image keys pass through."""
+    out = {}
+    if 'points' in batch and voxel_cfg is not None:
+        points = batch['points']            # (B, N, C)
+        num_points = batch['num_points']    # (B,)
+        n = points.shape[1]
+        points_valid = jnp.arange(n)[None, :] < num_points[:, None]
 
-    vox = jax.vmap(lambda p, v: vx_ops.voxelize(
-        p, v, jnp.asarray(point_cloud_range), jnp.asarray(voxel_size),
-        tuple(grid_size), voxel_cfg['max_voxels'],
-        voxel_cfg['max_points_per_voxel']))(points, points_valid)
+        vox = jax.vmap(lambda p, v: vx_ops.voxelize(
+            p, v, jnp.asarray(point_cloud_range), jnp.asarray(voxel_size),
+            tuple(grid_size), voxel_cfg['max_voxels'],
+            voxel_cfg['max_points_per_voxel']))(points, points_valid)
 
-    out = {
-        'points': points,
-        'points_valid': points_valid,
-        'voxels': vox['voxels'],
-        'voxel_coords': vox['voxel_coords'],
-        'voxel_num_points': vox['voxel_num_points'],
-        'voxel_valid': vox['voxel_valid'],
-        'batch_size': points.shape[0],
-    }
+        out.update({
+            'points': points,
+            'points_valid': points_valid,
+            'voxels': vox['voxels'],
+            'voxel_coords': vox['voxel_coords'],
+            'voxel_num_points': vox['voxel_num_points'],
+            'voxel_valid': vox['voxel_valid'],
+            'point_slot': vox['point_slot'],
+            'batch_size': points.shape[0],
+        })
+    for k in _CAMERA_KEYS:
+        if k in batch:
+            out[k] = batch[k]
+            out.setdefault('batch_size', batch[k].shape[0])
     if 'gt_boxes' in batch:
         out['gt_boxes'] = batch['gt_boxes']
     return out
@@ -62,7 +74,7 @@ def prepare_device_batch(batch, voxel_cfg, grid_size, point_cloud_range,
 
 def host_to_device_batch(batch):
     """Select the array keys the device step consumes."""
-    keep = ('points', 'num_points', 'gt_boxes')
+    keep = ('points', 'num_points', 'gt_boxes') + _CAMERA_KEYS
     return {k: jnp.asarray(np.asarray(batch[k])) for k in keep if k in batch}
 
 
@@ -125,6 +137,25 @@ def init_train_state(model, optimizer, dataset, batch_size, rng=None):
         'num_points': jnp.full((batch_size,), 16, jnp.int32),
         'gt_boxes': jnp.zeros((batch_size, dataset.max_gt_boxes, 8), jnp.float32),
     }
+    if 'images' in dataset.dataset_cfg.get('GET_ITEM_LIST', []):
+        ph, pw = dataset.image_pad_shape
+        f = dataset.depth_downsample_factor or 1
+        host_batch.update({
+            'images': jnp.zeros((batch_size, ph, pw, 3), jnp.float32),
+            'depth_maps': jnp.zeros(
+                (batch_size, -(-ph // f), -(-pw // f)), jnp.float32),
+            'trans_lidar_to_cam': jnp.tile(jnp.eye(4), (batch_size, 1, 1)),
+            'trans_cam_to_img': jnp.tile(
+                jnp.asarray([[100., 0, pw / 2, 0], [0, 100., ph / 2, 0],
+                             [0, 0, 1, 0]]), (batch_size, 1, 1)),
+            'image_shape': jnp.tile(jnp.asarray([ph, pw], jnp.int32),
+                                    (batch_size, 1)),
+            'gt_boxes2d': jnp.zeros((batch_size, dataset.max_gt_boxes, 4),
+                                    jnp.float32),
+        })
+        if dataset.voxel_cfg is None:
+            host_batch.pop('points')
+            host_batch.pop('num_points')
     voxel_cfg = dataset.voxel_cfg
     grid_size = tuple(int(g) for g in dataset.grid_size)
     pcr = tuple(float(x) for x in dataset.point_cloud_range)

@@ -63,7 +63,7 @@ def test_pool_split(al_setup):
 
 
 @pytest.mark.parametrize('method', ['random', 'entropy', 'confidence',
-                                    'montecarlo', 'coreset'])
+                                    'montecarlo', 'coreset', 'bald'])
 def test_strategy_selects(al_setup, method, tmp_path):
     cfg, model, variables, lab_loader, unlab_loader = al_setup
     strat = build_strategy(make_cfg(method).ACTIVE_TRAIN.METHOD, model,

@@ -22,14 +22,15 @@ GRID2 = (11, 400, 352)
 GRID3 = (5, 200, 176)
 
 
-def timed(fn, args, n=8, name=''):
+def timed(fn, args, n=16, name=''):
     float(fn(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f'{name:44s} {sorted(ts)[n // 2] * 1e3:9.2f} ms', flush=True)
+    # pipelined: dispatch n, sync once — amortizes the ~27ms RPC floor
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n)]
+    for o in outs:
+        float(o)
+    dt = (time.perf_counter() - t0) / n
+    print(f'{name:44s} {dt * 1e3:9.2f} ms', flush=True)
 
 
 def coords_for(grid, v, rng):
