@@ -27,11 +27,17 @@ from .synthetic import SyntheticDataset
 def _registry():
     from .kitti.kitti_dataset import KittiDataset
     from .waymo.waymo_dataset import WaymoDataset
+    from .nuscenes.nuscenes_dataset import NuScenesDataset
+    from .lyft.lyft_dataset import LyftDataset
+    from .pandaset.pandaset_dataset import PandasetDataset
     return {
         'DatasetTemplate': DatasetTemplate,
         'SyntheticDataset': SyntheticDataset,
         'KittiDataset': KittiDataset,
         'WaymoDataset': WaymoDataset,
+        'NuScenesDataset': NuScenesDataset,
+        'LyftDataset': LyftDataset,
+        'PandasetDataset': PandasetDataset,
     }
 
 

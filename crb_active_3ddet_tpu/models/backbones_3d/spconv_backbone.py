@@ -220,13 +220,30 @@ class VoxelBackBone8x(nn.Module):
               'coords': batch_dict['voxel_coords'],
               'valid': batch_dict['voxel_valid'], 'grid': grid0}
         cap = st['features'].shape[1]
+        # VOXEL_CAPS entries: fraction of the input cap (<=1.0) or absolute
+        # active-site count (>1) — absolute values keep deep-stage buffers
+        # at REAL workload sizes when the input cap is the safety 40k
         fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
-        caps = [max(16, int(cap * f)) for f in fracs]
+        caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
-        def subm_rbk(st):
+        def level_table(st):
+            return jax.vmap(partial(rb.build_dense_table, grid=st['grid']))(
+                st['coords'], st['valid'])
+
+        def subm_rbk(st, table):
             return jax.vmap(partial(rb.subm_rulebook_halved,
                                     grid=st['grid']))(
-                st['coords'], st['valid'])
+                st['coords'], st['valid'], table=table)
+
+        def down(st, ch, stride, padding, max_out, table):
+            pre = jax.vmap(partial(
+                rb.downsample_rulebook_dense, grid=st['grid'],
+                kernel_size=(3, 3, 3), stride=stride, padding=padding,
+                max_out=max_out))(st['coords'], st['valid'], table=table)
+            return SparseConvLayer(ch, st['grid'], subm=False, stride=stride,
+                                   padding=padding, max_out=max_out,
+                                   compute_dtype=cdt)(
+                st, training, precomputed=pre)
 
         def stage(st, ch, n_blocks, rulebook):
             for _ in range(n_blocks):
@@ -239,28 +256,33 @@ class VoxelBackBone8x(nn.Module):
                         st, training, rulebook=rulebook)
             return st
 
-        rbk0 = subm_rbk(st)
+        tbl = level_table(st)
+        rbk0 = subm_rbk(st, tbl)
         st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)  # conv_input
         st = stage(st, 16, 1, rbk0)                                # conv1
         x_conv1 = st
-        st = SparseConvLayer(32, st['grid'], subm=False, stride=(2, 2, 2),
-                             max_out=caps[0], compute_dtype=cdt)(st, training)
-        st = stage(st, 32, 2, subm_rbk(st))                        # conv2
+        st = down(st, 32, (2, 2, 2), (1, 1, 1), caps[0], tbl)
+        tbl = level_table(st)
+        st = stage(st, 32, 2, subm_rbk(st, tbl))                   # conv2
         x_conv2 = st
-        st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
-                             max_out=caps[1], compute_dtype=cdt)(st, training)
-        st = stage(st, 64, 2, subm_rbk(st))                        # conv3
+        st = down(st, 64, (2, 2, 2), (1, 1, 1), caps[1], tbl)
+        tbl = level_table(st)
+        st = stage(st, 64, 2, subm_rbk(st, tbl))                   # conv3
         x_conv3 = st
-        st = SparseConvLayer(64, st['grid'], subm=False, stride=(2, 2, 2),
-                             padding=(0, 1, 1), max_out=caps[2],
-                             compute_dtype=cdt)(st, training)
-        st = stage(st, 64, 2, subm_rbk(st))                        # conv4
+        st = down(st, 64, (2, 2, 2), (0, 1, 1), caps[2], tbl)
+        tbl = level_table(st)
+        st = stage(st, 64, 2, subm_rbk(st, tbl))                   # conv4
         x_conv4 = st
+        pre_out = jax.vmap(partial(
+            rb.downsample_rulebook_dense, grid=st['grid'],
+            kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
+            max_out=caps[3]))(st['coords'], st['valid'], table=tbl)
         st = SparseConvLayer(128, st['grid'], subm=False,
                              kernel_size=(3, 1, 1), stride=(2, 1, 1),
                              padding=(0, 0, 0), max_out=caps[3],
-                             compute_dtype=cdt)(st, training)      # conv_out
+                             compute_dtype=cdt)(st, training,
+                                                precomputed=pre_out)  # conv_out
         dense = jax.vmap(partial(sparse_tensor_to_dense, grid=st['grid']))(
             st['features'], st['coords'], st['valid'])
         batch_dict['encoded_spconv_features'] = dense   # (B, D, H, W, C)
@@ -365,20 +387,24 @@ class UNetV2(nn.Module):
               'valid': batch_dict['voxel_valid'], 'grid': grid0}
         cap = st['features'].shape[1]
         fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
-        caps = [max(16, int(cap * f)) for f in fracs]
+        caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
-        def subm_rbk(s):
-            return jax.vmap(partial(rb.subm_rulebook_halved, grid=s['grid']))(
+        def level_table(s):
+            return jax.vmap(partial(rb.build_dense_table, grid=s['grid']))(
                 s['coords'], s['valid'])
 
-        def down(s, ch, stride, padding, max_out):
+        def subm_rbk(s, table=None):
+            return jax.vmap(partial(rb.subm_rulebook_halved, grid=s['grid']))(
+                s['coords'], s['valid'], table=table)
+
+        def down(s, ch, stride, padding, max_out, table=None):
             """Strided conv capturing (fine set, fwd rulebook) for the
             decoder's inverse conv."""
             feats, coords, valid = s['features'], s['coords'], s['valid']
             out_coords, out_valid, rulebook = jax.vmap(partial(
-                rb.downsample_rulebook, grid=s['grid'], kernel_size=(3, 3, 3),
-                stride=stride, padding=padding, max_out=max_out))(
-                coords, valid)
+                rb.downsample_rulebook_dense, grid=s['grid'],
+                kernel_size=(3, 3, 3), stride=stride, padding=padding,
+                max_out=max_out))(coords, valid, table=table)
             # run the conv through SparseConvLayer's gather-GEMM by handing
             # it the precomputed rulebook via the subm path shape contract
             layer = SparseConvLayer(ch, s['grid'], kernel_size=(3, 3, 3),
@@ -391,24 +417,30 @@ class UNetV2(nn.Module):
                          'fine_grid': s['grid'], 'rulebook': rulebook}
 
         # ---- encoder (same shape as VoxelBackBone8x) ----
-        rbk0 = subm_rbk(st)
+        tbl = level_table(st)
+        rbk0 = subm_rbk(st, tbl)
         st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)                       # conv_input
         x_conv1 = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)                       # conv1
-        x_conv2, link2 = down(x_conv1, 32, (2, 2, 2), (1, 1, 1), caps[0])
-        rbk2 = subm_rbk(x_conv2)
+        x_conv2, link2 = down(x_conv1, 32, (2, 2, 2), (1, 1, 1), caps[0],
+                              tbl)
+        tbl = level_table(x_conv2)
+        rbk2 = subm_rbk(x_conv2, tbl)
         for _ in range(2):
             x_conv2 = SparseConvLayer(32, x_conv2['grid'], subm=True,
                                       compute_dtype=cdt)(
                 x_conv2, training, rulebook=rbk2)
-        x_conv3, link3 = down(x_conv2, 64, (2, 2, 2), (1, 1, 1), caps[1])
-        rbk3 = subm_rbk(x_conv3)
+        x_conv3, link3 = down(x_conv2, 64, (2, 2, 2), (1, 1, 1), caps[1],
+                              tbl)
+        tbl = level_table(x_conv3)
+        rbk3 = subm_rbk(x_conv3, tbl)
         for _ in range(2):
             x_conv3 = SparseConvLayer(64, x_conv3['grid'], subm=True,
                                       compute_dtype=cdt)(
                 x_conv3, training, rulebook=rbk3)
-        x_conv4, link4 = down(x_conv3, 64, (2, 2, 2), (0, 1, 1), caps[2])
+        x_conv4, link4 = down(x_conv3, 64, (2, 2, 2), (0, 1, 1), caps[2],
+                              tbl)
         rbk4 = subm_rbk(x_conv4)
         for _ in range(2):
             x_conv4 = SparseConvLayer(64, x_conv4['grid'], subm=True,

@@ -159,6 +159,84 @@ def subm_rulebook_halved(coords, valid, grid, kernel_size=(3, 3, 3),
 
 @partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding',
                                    'max_out'))
+def downsample_rulebook_dense(in_coords, in_valid, grid, kernel_size, stride,
+                              padding, max_out: int, table=None):
+    """Strided-conv active sites + rulebook via dense tables — no sort.
+
+    Derivation (replaces the argsort in :func:`downsample_rulebook`, which
+    profiled as the single largest index cost in the backbone):
+      1. mark candidate OUTPUT cells in a dense occupancy table (each input
+         touches ≤⌈K/s⌉³ outputs — one scatter),
+      2. enumerate active cells in hash order by rank: cumsum over the
+         occupancy + one searchsorted per output slot,
+      3. rulebook by querying the INPUT dense table at out·s−p+k for all K³
+         offsets (the same table the level's subm rulebook uses — pass it
+         in to amortize the build).
+
+    Costs: one scatter (V·C), one cumsum (out_cells), max_out·log gathers,
+    max_out·K³ table gathers — all measured ≥5× cheaper than the V·C argsort
+    at KITTI scale.  Semantics identical to :func:`downsample_rulebook`
+    (output sites in ascending hash order, capped at max_out).
+    """
+    ks, st, pd = kernel_size, stride, padding
+    out_grid = conv_out_grid(grid, ks, st, pd)
+    noz, noy, nox = out_grid
+    out_cells = noz * noy * nox
+    nz, ny, nx = grid
+    v = in_coords.shape[0]
+    kt = ks[0] * ks[1] * ks[2]
+
+    # 1. candidate output cells per input (same enumeration as
+    # downsample_coords): k = ((i+p) mod s) + s·b
+    n_cand = [-(-k // s) for k, s in zip(ks, st)]
+    bz, by, bx = jnp.meshgrid(jnp.arange(n_cand[0]), jnp.arange(n_cand[1]),
+                              jnp.arange(n_cand[2]), indexing='ij')
+    b_offs = jnp.stack([bz.reshape(-1), by.reshape(-1), bx.reshape(-1)],
+                       axis=1)
+    ip = in_coords + jnp.asarray(pd)[None, :]
+    st_a = jnp.asarray(st)[None, None, :]
+    k_base = ip % jnp.asarray(st)[None, :]
+    k_cand = k_base[:, None, :] + b_offs[None, :, :] * st_a[0]
+    k_ok = (k_cand < jnp.asarray(ks)[None, None, :]).all(-1)
+    o = (ip[:, None, :] - k_cand) // st_a
+    in_bounds = ((o >= 0).all(-1)
+                 & (o[..., 0] < noz) & (o[..., 1] < noy) & (o[..., 2] < nox))
+    ok = k_ok & in_bounds & in_valid[:, None]
+    oh = (o[..., 0] * (noy * nox) + o[..., 1] * nox + o[..., 2])
+    oh = jnp.where(ok, oh, out_cells).reshape(-1)
+
+    occ = jnp.zeros((out_cells + 1,), jnp.int32).at[oh].set(1, mode='drop')
+    occ = occ[:out_cells]
+
+    # 2. rank-compaction: slot s holds the (s+1)-th active cell
+    csum = jnp.cumsum(occ)
+    n_out = csum[-1]
+    ranks = jnp.arange(1, max_out + 1, dtype=csum.dtype)
+    out_h = jnp.searchsorted(csum, ranks)            # first cell w/ csum≥s+1
+    out_valid = ranks <= jnp.minimum(n_out, max_out)
+    out_h = jnp.where(out_valid, out_h, 0).astype(jnp.int32)
+    oz = out_h // (noy * nox)
+    rem = out_h % (noy * nox)
+    out_coords = jnp.stack([oz, rem // nox, rem % nox], axis=1)
+    out_coords = jnp.where(out_valid[:, None], out_coords, -1)
+
+    # 3. rulebook via input-table queries at out·s−p+offset
+    if table is None:
+        table = build_dense_table(in_coords, in_valid, grid)
+    offsets = _kernel_offsets(ks)                    # (K, 3)
+    nbr = (out_coords[:, None, :] * jnp.asarray(st)[None, None, :]
+           - jnp.asarray(pd)[None, None, :] + offsets[None, :, :])
+    nb_ok = ((nbr >= 0).all(-1)
+             & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx)
+             & out_valid[:, None])
+    q = (nbr[..., 0] * ny + nbr[..., 1]) * nx + nbr[..., 2]
+    q = jnp.where(nb_ok, q, nz * ny * nx)
+    rulebook = jnp.where(nb_ok, table[q.reshape(-1)].reshape(max_out, kt), -1)
+    return out_coords, out_valid, rulebook
+
+
+@partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding',
+                                   'max_out'))
 def downsample_rulebook(in_coords, in_valid, grid, kernel_size, stride,
                         padding, max_out: int):
     """Strided-conv active sites AND rulebook in one sort — zero table

@@ -23,15 +23,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def init_distributed():
-    """Multi-host bootstrap (parity: common_utils.init_dist_pytorch:161-174).
-    No-op on single-host."""
-    if int(jax.process_count()) > 1:
-        return
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-process run
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+    """Multi-host bootstrap: ``jax.distributed.initialize`` with explicit
+    args, env vars, or SLURM auto-detection.
+
+    Parity: ``common_utils.init_dist_pytorch`` :161-174 (explicit/env
+    bootstrap) and ``init_dist_slurm`` :134-158 (SLURM_PROCID/NTASKS/
+    NODELIST → MASTER_ADDR rendezvous).  JAX's cluster detection already
+    understands SLURM and GKE env; explicit args win when given.
+
+    Returns (num_processes, process_id) like the reference's
+    ``(total_gpus, rank)``.  Call once at CLI start, before any jax op.
+    """
+    import os
+    already = getattr(jax.distributed, 'is_initialized', None)
+    if already is not None and jax.distributed.is_initialized():
+        return jax.process_count(), jax.process_index()
+
+    if coordinator_address is None and 'SLURM_PROCID' in os.environ \
+            and int(os.environ.get('SLURM_NTASKS', '1')) > 1:
+        # SLURM rendezvous (init_dist_slurm parity): first node hosts the
+        # coordinator; jax's SlurmCluster computes the same, but be explicit
+        # so a port choice can ride through like the reference's tcp_port
+        num_processes = int(os.environ['SLURM_NTASKS'])
+        process_id = int(os.environ['SLURM_PROCID'])
+
+    if coordinator_address is not None or num_processes is not None \
+            or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+    else:
+        # single-process run: nothing to initialize
+        return 1, 0
+    return jax.process_count(), jax.process_index()
 
 
 def make_mesh(devices=None, axis_name: str = 'dp') -> Mesh:

@@ -55,6 +55,7 @@ class CRBSampling(Strategy):
         n_select = int(self.cfg.ACTIVE_TRAIN.SELECT_NUMS)
 
         # ---------------- Stage 1: concise label sampling ----------------
+        t_stage1 = time.time()
         num_mc = int(self.cfg.MODEL.get('SAMPLING_ROUND', 5))
         records = self.scan_pool(mc_dropout=True, num_mc=num_mc)
         select_dic = {fid: float(r['label_entropy'])
@@ -66,6 +67,7 @@ class CRBSampling(Strategy):
 
         ranked = sorted(select_dic.items(), key=lambda kv: kv[1])
         k1_frames = [fid for fid, _ in ranked[::-1][:int(self.k1 * n_select)]]
+        self.stage_times = {'crb_stage1_s': time.time() - t_stage1}
 
         # ---------------- Stage 2: representative prototypes -------------
         # hypothetical targets = stage-1 MC-mean rcnn outputs (reference
@@ -123,10 +125,14 @@ class CRBSampling(Strategy):
         k2_frames = [frame_ids[i] for i in sel_idx]
         print(f'--- {{{self.prototype}}} running time: '
               f'{time.time() - start:.2f} seconds for fc grads---')
+        self.stage_times['crb_stage2_s'] = time.time() - start
 
         # ---------------- Stage 3: greedy density balancing (GPDB) -------
-        return self._gpdb(k2_frames, density_list, label_list, num_class,
-                          n_select)
+        t_stage3 = time.time()
+        out = self._gpdb(k2_frames, density_list, label_list, num_class,
+                         n_select)
+        self.stage_times['crb_stage3_s'] = time.time() - t_stage3
+        return out
 
     def _gpdb(self, k2_frames, density_list, label_list, num_class, n_select):
         """Parity: crb_sampling.py:240-338."""

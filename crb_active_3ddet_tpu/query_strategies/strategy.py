@@ -239,12 +239,19 @@ class Strategy:
             sinks.append(metrics.add_scalar)
         elif wandb is not None and wandb.run is not None:
             sinks.append(lambda k, v, s: wandb.log({k: v}, step=s))
-        if not sinks or not getattr(self, 'selected_bbox', None):
+        if not sinks:
             return
 
         def log(key, value):
             for s in sinks:
                 s(key, value, accumulated_iter)
+
+        # per-stage acquisition wall-clock (SURVEY §5.1 — replaces the
+        # reference's stage prints at crb_sampling.py:222,239,262)
+        for k, v in getattr(self, 'stage_times', {}).items():
+            log(f'active_timing/{k}', float(v))
+        if not getattr(self, 'selected_bbox', None):
+            return
 
         classes = list(self.selected_bbox[0].keys())
         total_bbox = 0

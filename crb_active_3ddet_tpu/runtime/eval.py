@@ -42,7 +42,8 @@ def make_eval_step(model, dataset, post_cfg, num_class):
 
 
 def eval_one_epoch(variables, eval_step, dataset, loader, class_names,
-                   logger=None, result_dir=None, save_result_pkl=True):
+                   logger=None, result_dir=None, save_result_pkl=True,
+                   profiler=None):
     """Returns (ap_result_str, ap_dict, recall_dict). Dumps result.pkl into
     result_dir (parity: eval_utils.py writes det_annos for visualize.py)."""
     det_annos = []
@@ -68,12 +69,19 @@ def eval_one_epoch(variables, eval_step, dataset, loader, class_names,
     window = []
     for batch in loader:
         host_batch = host_to_device_batch(batch)
+        if profiler is not None:
+            profiler.step_start()
         preds, rec = eval_step(variables, host_batch)
+        if profiler is not None:
+            jax.block_until_ready(preds)
+            profiler.step_end()
         window.append((batch, preds, rec))
         if len(window) >= 8:
             drain(window.pop(0))
     for entry in window:
         drain(entry)
+    if profiler is not None:
+        profiler.close()
     sec_per_example = (time.time() - t0) / max(num_frames, 1)
     if logger is not None:
         logger.info('Eval: %d frames, %.4f s/frame', num_frames, sec_per_example)

@@ -170,8 +170,37 @@ def init_train_state(model, optimizer, dataset, batch_size, rng=None):
                       opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
 
 
+class ProfilerHook:
+    """``jax.profiler.trace`` over the first N steps (SURVEY §5.1 — product
+    replacement for the reference's timing meters; view with TensorBoard's
+    profile plugin or xprof)."""
+
+    def __init__(self, num_steps: int, log_dir):
+        self.num_steps = int(num_steps)
+        self.log_dir = str(log_dir)
+        self._step = 0
+        self._active = False
+
+    def step_start(self):
+        if self.num_steps > 0 and self._step == 0 and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def step_end(self):
+        self._step += 1
+        if self._active and self._step >= self.num_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def train_one_epoch(state, train_step, loader, rng, logger=None,
-                    log_interval=50, tb_log=None, cur_epoch=0):
+                    log_interval=50, tb_log=None, cur_epoch=0,
+                    profiler: ProfilerHook | None = None):
     """Parity surface: ``train_utils.train_one_epoch`` (timing meters,
     scalar logging)."""
     data_time = fwd_time = 0.0
@@ -180,9 +209,14 @@ def train_one_epoch(state, train_step, loader, rng, logger=None,
     for it, batch in enumerate(loader):
         host_batch = host_to_device_batch(batch)
         data_time += time.time() - end
+        if profiler is not None:
+            profiler.step_start()
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, host_batch, step_rng)
         losses.append(metrics['loss'])
+        if profiler is not None:
+            jax.block_until_ready(metrics['loss'])
+            profiler.step_end()
         fwd_time += time.time() - end
         end = time.time()
         if logger is not None and (it % log_interval) == 0:

@@ -27,12 +27,23 @@ def get_rank() -> int:
 
 def all_gather(data):
     """Gather arbitrary picklable objects from every host process.
-    Parity: ``commu_utils.all_gather`` (the reference pickles into padded
-    byte tensors; multihost_utils does the same dance for us)."""
+    Parity: ``commu_utils.all_gather:50-111`` — pickle to a byte buffer,
+    allgather the per-rank sizes, pad to the max, allgather, unpickle.
+    (``process_allgather`` alone requires identical leaf shapes across
+    ranks, which arbitrary objects don't satisfy.)"""
     if get_world_size() == 1:
         return [data]
+    import pickle
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(data, tiled=False))
+    buf = np.frombuffer(pickle.dumps(data), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64))
+    max_size = int(np.max(sizes))
+    padded = np.zeros((max_size,), np.uint8)
+    padded[:buf.size] = buf
+    gathered = multihost_utils.process_allgather(padded)
+    return [pickle.loads(gathered[i, :int(sizes[i, 0])].tobytes())
+            for i in range(get_world_size())]
 
 
 def average_reduce_value(data):

@@ -188,3 +188,36 @@ def test_downsample_rulebook_matches_lookup():
             grid=grid, kernel_size=ks, stride=st, padding=pd)
         ovn = np.asarray(ov)
         assert np.array_equal(np.asarray(rbk)[ovn], np.asarray(rbk_ref)[ovn])
+
+
+def test_downsample_rulebook_dense_matches_sort():
+    """Dense-table downsample (no sort) == the sort-derived fused version,
+    including the max_out truncation and a shared prebuilt table."""
+    from functools import partial
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(9)
+    grid = (9, 16, 14)
+    v = 80
+    cells = rng.choice(9 * 16 * 14, size=v, replace=False)
+    coords = np.stack([cells // (16 * 14), (cells % (16 * 14)) // 14,
+                       cells % 14], axis=-1).astype(np.int32)
+    valid = np.arange(v) < 70
+    table = rb.build_dense_table(jnp.asarray(coords), jnp.asarray(valid),
+                                 grid)
+    for ks, st, pd in [((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+                       ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+                       ((3, 1, 1), (2, 1, 1), (0, 0, 0))]:
+        for max_out in (v, 24):
+            oc, ov, rbk = rb.downsample_rulebook(
+                jnp.asarray(coords), jnp.asarray(valid), grid=grid,
+                kernel_size=ks, stride=st, padding=pd, max_out=max_out)
+            for tbl in (None, table):
+                oc_d, ov_d, rbk_d = rb.downsample_rulebook_dense(
+                    jnp.asarray(coords), jnp.asarray(valid), grid=grid,
+                    kernel_size=ks, stride=st, padding=pd, max_out=max_out,
+                    table=tbl)
+                assert np.array_equal(np.asarray(ov), np.asarray(ov_d))
+                assert np.array_equal(np.asarray(oc), np.asarray(oc_d))
+                ovn = np.asarray(ov)
+                assert np.array_equal(np.asarray(rbk)[ovn],
+                                      np.asarray(rbk_d)[ovn])

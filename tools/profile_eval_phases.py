@@ -76,10 +76,6 @@ def main():
         mc = {k: v for k, v in dict(cfg.MODEL).items()
               if k in ('NAME',) + keys or k == 'POST_PROCESSING'}
         model = build_detector(CfgNode(mc), len(cfg.CLASS_NAMES), test_set)
-        sub_vars = {
-            'params': {k: v for k, v in variables['params'].items()
-                       if k in model._DETECTOR_NAMES or True},
-            'batch_stats': variables['batch_stats']}
         # init fresh (param values irrelevant for timing)
         st = train_rt.init_train_state(model, optimizer, test_set, batch_size)
         vv = {'params': st.params, 'batch_stats': st.batch_stats}

@@ -42,6 +42,13 @@ def parse_config():
     parser.add_argument('--max_waiting_mins', type=float, default=30)
     parser.add_argument('--wandb', action='store_true', default=False,
                         help='also log eval metrics to wandb')
+    parser.add_argument('--profile', type=int, default=0,
+                        help='trace the first N eval batches with '
+                             'jax.profiler into <eval_dir>/profile')
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='multi-host coordinator ip:port')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -52,7 +59,7 @@ def parse_config():
 
 
 def eval_ckpt(ckpt_path, model, state_template, eval_step, test_set,
-              test_loader, logger, result_dir=None):
+              test_loader, logger, result_dir=None, profiler=None):
     # build variables straight from the checkpoint pytree — no training-path
     # init/compile needed for evaluation
     import jax.numpy as jnp
@@ -62,7 +69,7 @@ def eval_ckpt(ckpt_path, model, state_template, eval_step, test_set,
                  'batch_stats': jax.tree.map(jnp.asarray, ck['batch_stats'])}
     ap_str, ap_dict, recall = eval_rt.eval_one_epoch(
         variables, eval_step, test_set, test_loader, cfg.CLASS_NAMES,
-        logger=logger, result_dir=result_dir)
+        logger=logger, result_dir=result_dir, profiler=profiler)
     logger.info('\n%s', ap_str)
     logger.info('Result: %s', {k: round(float(v), 4) for k, v in ap_dict.items()})
     return ap_dict
@@ -70,6 +77,8 @@ def eval_ckpt(ckpt_path, model, state_template, eval_step, test_set,
 
 def main():
     args, _ = parse_config()
+    from crb_active_3ddet_tpu.parallel import init_distributed
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
     common_utils.set_random_seed(1024)
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
     output_dir = REPO_ROOT / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
@@ -97,10 +106,17 @@ def main():
                                        cfg.MODEL.POST_PROCESSING,
                                        num_class=len(cfg.CLASS_NAMES))
 
+    profiler = None
+    if args.profile > 0:
+        from crb_active_3ddet_tpu.runtime.train import ProfilerHook
+        profiler = ProfilerHook(args.profile, eval_dir / 'profile')
+        logger.info('profiling first %d eval batches -> %s', args.profile,
+                    eval_dir / 'profile')
+
     if not args.eval_all:
         assert args.ckpt is not None, '--ckpt required without --eval_all'
         ap = eval_ckpt(args.ckpt, model, state_template, eval_step, test_set,
-                       test_loader, logger, eval_dir)
+                       test_loader, logger, eval_dir, profiler=profiler)
         tb_log.add_scalars(ap, step=0, prefix='eval/')
         tb_log.close()
         return

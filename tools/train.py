@@ -44,6 +44,15 @@ def parse_config():
     parser.add_argument('--mesh', type=str, default='auto',
                         help="data-parallel mesh: 'auto' (all chips when the "
                              "batch divides evenly), 'none', or a device count")
+    parser.add_argument('--profile', type=int, default=0,
+                        help='trace the first N train steps with '
+                             'jax.profiler into <output>/profile')
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='multi-host: coordinator ip:port '
+                             '(parity common_utils.init_dist_slurm; SLURM '
+                             'env is auto-detected without this flag)')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -78,6 +87,9 @@ def _resolve_mesh(mesh_arg, batch_size, logger):
 
 def main():
     args, cfg_local = parse_config()
+    from crb_active_3ddet_tpu.parallel import init_distributed
+    world, rank = init_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
     epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
 
@@ -146,12 +158,18 @@ def main():
         from crb_active_3ddet_tpu.parallel import place_replicated
         state = place_replicated(state, mesh)
     rng = jax.random.PRNGKey(666)
+    profiler = None
+    if args.profile > 0:
+        profiler = train_rt.ProfilerHook(args.profile,
+                                         output_dir / 'profile')
+        logger.info('profiling first %d steps -> %s', args.profile,
+                    output_dir / 'profile')
     logger.info('*************** Start training (%d epochs, %d steps/epoch) ***************',
                 epochs, steps_per_epoch)
     for epoch in range(start_epoch, epochs):
         state, metrics, rng = train_rt.train_one_epoch(
             state, train_step, train_loader, rng, logger=logger,
-            cur_epoch=epoch, tb_log=tb_log)
+            cur_epoch=epoch, tb_log=tb_log, profiler=profiler)
         logger.info('epoch %d done: loss %.4f (data %.1fs batch %.1fs)',
                     epoch, metrics['loss'], metrics['data_time'],
                     metrics['batch_time'])
