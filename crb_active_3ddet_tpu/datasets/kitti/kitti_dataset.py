@@ -401,3 +401,21 @@ def create_kitti_infos(dataset_cfg, class_names, data_path, save_path,
     dataset.set_split(train_split)
     dataset.create_groundtruth_database(train_filename, split=train_split)
     print('---------------Data preparation Done---------------')
+
+
+if __name__ == '__main__':
+    # CLI: python -m crb_active_3ddet_tpu.datasets.kitti.kitti_dataset \
+    #          create_kitti_infos <dataset_cfg.yaml> [data_path]
+    # (parity: pcdet/datasets/kitti/kitti_dataset.py:471-484)
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == 'create_kitti_infos':
+        from pathlib import Path
+        import yaml
+        from ...config import CfgNode
+        dataset_cfg = CfgNode(yaml.safe_load(open(sys.argv[2])))
+        data_path = Path(sys.argv[3]) if len(sys.argv) > 3 \
+            else Path(dataset_cfg.DATA_PATH)
+        create_kitti_infos(
+            dataset_cfg=dataset_cfg,
+            class_names=['Car', 'Pedestrian', 'Cyclist'],
+            data_path=data_path, save_path=data_path)

@@ -141,19 +141,51 @@ class PointIntraPartOffsetHead(nn.Module):
             point_cls_preds.max(axis=-1))
         batch_dict['point_part_offset'] = jax.nn.sigmoid(point_part_preds)
 
+        # anchor-free PartA2_free variant: a REG_FC box branch turns this
+        # head into the proposal source (reference
+        # point_intra_part_offset_head.py builds box_layers when the config
+        # carries REG_FC and decodes batch_box_preds at predict time)
+        has_box_branch = bool(cfg.get('REG_FC', None))
+        coder = None
+        if has_box_branch:
+            coder_cfg = dict(cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {}))
+            coder = box_coder_utils.build_box_coder(
+                cfg.TARGET_CONFIG.get('BOX_CODER', 'PointResidualCoder'),
+                **coder_cfg)
+            point_box_preds = tower(feats, tuple(cfg.REG_FC),
+                                    coder.code_size)
+            batch_dict['point_box_preds_raw'] = point_box_preds
+
         coords = batch_dict['point_coords']
         valid = batch_dict.get('point_valid',
                                batch_dict.get('point_coords_valid'))
         if training:
             extra = tuple(cfg.TARGET_CONFIG.GT_EXTRA_WIDTH)
-            coder = box_coder_utils.build_box_coder('PointResidualCoder',
-                                                    use_mean_size=False)
-            cls_l, _, part_t = jax.vmap(
+            t_coder = coder if coder is not None else \
+                box_coder_utils.build_box_coder('PointResidualCoder',
+                                                use_mean_size=False)
+            cls_l, box_t, part_t = jax.vmap(
                 lambda p, v, g: assign_point_box_targets(p, v, g, extra,
-                                                         coder))(
+                                                         t_coder))(
                 coords, valid, batch_dict['gt_boxes'])
-            batch_dict['point_cls_labels'] = jnp.where(cls_l > 0, 1, cls_l)
+            if has_box_branch:
+                # multi-class labels feed both seg and box towers
+                batch_dict['point_cls_labels'] = cls_l if not \
+                    cfg.CLASS_AGNOSTIC else jnp.where(cls_l > 0, 1, cls_l)
+                batch_dict['point_box_labels'] = box_t
+            else:
+                batch_dict['point_cls_labels'] = jnp.where(cls_l > 0, 1,
+                                                           cls_l)
             batch_dict['point_part_labels'] = part_t
+        if has_box_branch:
+            pred_classes = point_cls_preds.argmax(-1) + 1
+            boxes = jax.vmap(lambda e, p, c: coder.decode(
+                e, p, pred_classes=c))(point_box_preds, coords, pred_classes)
+            masked_cls = jnp.where(valid[..., None], point_cls_preds, -1e9)
+            batch_dict['batch_cls_preds'] = masked_cls
+            batch_dict['batch_box_preds'] = boxes
+            batch_dict['batch_valid'] = valid
+            batch_dict['cls_preds_normalized'] = False
         return batch_dict
 
 
@@ -205,6 +237,21 @@ def get_point_part_loss(batch_dict, loss_weights, reduce=True):
     pos_n = jnp.clip(pos.sum(axis=-1), 1.0)
     part_loss = (bce * pos).sum(-1) / pos_n \
         * loss_weights.get('point_part_weight', 1.0)
+    total = part_loss
+    if 'point_box_labels' in batch_dict and \
+            'point_box_preds_raw' in batch_dict:
+        # PartA2_free box branch (reference get_box_layer_loss)
+        box_preds = batch_dict['point_box_preds_raw']
+        box_t = batch_dict['point_box_labels']
+        labels = batch_dict['point_cls_labels']
+        w = (labels > 0).astype(jnp.float32)
+        wn = w / jnp.clip(w.sum(-1, keepdims=True), 1.0)
+        cw = loss_weights.get('code_weights', None)
+        box_loss = loss_utils.weighted_smooth_l1_loss(
+            box_preds, box_t, weights=wn,
+            code_weights=jnp.asarray(cw) if cw is not None else None)
+        total = total + box_loss.sum(axis=(-1, -2)) \
+            * loss_weights.get('point_box_weight', 1.0)
     if reduce:
-        return cls_loss + part_loss.mean()
-    return cls_loss + part_loss
+        return cls_loss + total.mean()
+    return cls_loss + total

@@ -42,14 +42,28 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
         else scores.argmax(axis=-1) + 1
     logits_src = full_cls_scores if full_cls_scores is not None else cls_preds
 
-    nms_cfg = post_cfg.NMS_CONFIG
+    nms_cfg = post_cfg.get('NMS_CONFIG', None)
     score_thresh = post_cfg.get('SCORE_THRESH', None)
-    keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms(
-        box_preds[:, :7], max_scores,
-        iou_thresh=float(nms_cfg.NMS_THRESH),
-        pre_max=int(nms_cfg.NMS_PRE_MAXSIZE),
-        post_max=int(nms_cfg.NMS_POST_MAXSIZE),
-        score_thresh=float(score_thresh) if score_thresh else None)
+    if nms_cfg is not None:
+        keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms(
+            box_preds[:, :7], max_scores,
+            iou_thresh=float(nms_cfg.NMS_THRESH),
+            pre_max=int(nms_cfg.NMS_PRE_MAXSIZE),
+            post_max=int(nms_cfg.NMS_POST_MAXSIZE),
+            score_thresh=float(score_thresh) if score_thresh else None)
+    else:
+        # CenterPoint-style configs carry no model-level NMS: the dense head
+        # already suppressed peaks and emitted final boxes (reference
+        # centerpoint.py:36-51 takes final_box_dicts as-is) — select by
+        # score only
+        post_max = int(post_cfg.get('MAX_OBJ_PER_SAMPLE',
+                                    min(500, box_preds.shape[0])))
+        s = jnp.where(max_scores >= float(score_thresh or 0.0), max_scores,
+                      -jnp.inf)
+        keep_scores, keep_idx = jax.lax.top_k(s, min(post_max,
+                                                     box_preds.shape[0]))
+        keep_valid = jnp.isfinite(keep_scores)
+        keep_scores = jnp.where(keep_valid, keep_scores, -1e10)
 
     out = {
         'pred_boxes': jnp.where(keep_valid[:, None], box_preds[keep_idx, :7], 0.0),
@@ -80,7 +94,8 @@ def post_processing(batch_dict, post_cfg, num_class):
 
     # IoU-head score fusion (parity: second_net_iou.post_processing
     # SCORE_TYPE iou/cls/weighted_iou_cls/num_pts_iou_cls + SCORE_BY_CLASS)
-    score_type = post_cfg.NMS_CONFIG.get('SCORE_TYPE', None)
+    score_type = post_cfg.get('NMS_CONFIG', {}).get('SCORE_TYPE', None) \
+        if post_cfg.get('NMS_CONFIG', None) is not None else None
     if score_type is not None and 'roi_scores' in batch_dict:
         iou_s = cls_preds.max(-1) if normalized \
             else jax.nn.sigmoid(cls_preds).max(-1)          # (B, R)

@@ -100,11 +100,14 @@ class PointRCNNHead(nn.Module):
             if int(npoint) == -1:
                 # group-all: one max-pooled feature per roi
                 x = jnp.concatenate([xyz, x_feats], axis=-1)
-                for ch in sa_cfg.MLPS[k]:
-                    x = nn.Dense(ch, use_bias=False, name=f'sa{k}_d{ch}')(x)
+                for li, ch in enumerate(sa_cfg.MLPS[k]):
+                    # name by layer index — repeated widths (e.g. [512, 512])
+                    # would collide under a width-based name
+                    x = nn.Dense(ch, use_bias=False,
+                                 name=f'sa{k}_d{li}')(x)
                     x = nn.BatchNorm(use_running_average=not training,
                                      momentum=0.99, epsilon=1e-3,
-                                     name=f'sa{k}_bn{ch}')(x)
+                                     name=f'sa{k}_bn{li}')(x)
                     x = nn.relu(x)
                 x = jnp.where(pt_valid[..., None], x, -1e9)
                 shared = x.max(axis=1)                  # (B·R, C)
