@@ -226,20 +226,20 @@ class VoxelBackBone8x(nn.Module):
         fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
-        def level_table(st):
-            return jax.vmap(partial(rb.build_dense_table, grid=st['grid']))(
-                st['coords'], st['valid'])
+        def subm_rbk(st):
+            # batch-flat table + row-gather queries (see rulebook.py notes:
+            # vmapped per-sample tables loop in XLA; scalar gathers are 13x
+            # slower than 128-lane row gathers)
+            return rb.subm_rulebook_batch(st['coords'], st['valid'],
+                                          st['grid'])
 
-        def subm_rbk(st, table):
-            return jax.vmap(partial(rb.subm_rulebook_halved,
-                                    grid=st['grid']))(
-                st['coords'], st['valid'], table=table)
-
-        def down(st, ch, stride, padding, max_out, table):
+        def down(st, ch, stride, padding, max_out):
+            # sort-based fused downsample: one ~V·C-element device sort
+            # (~1-2 ms at KITTI scale per the device trace)
             pre = jax.vmap(partial(
-                rb.downsample_rulebook_dense, grid=st['grid'],
+                rb.downsample_rulebook, grid=st['grid'],
                 kernel_size=(3, 3, 3), stride=stride, padding=padding,
-                max_out=max_out))(st['coords'], st['valid'], table=table)
+                max_out=max_out))(st['coords'], st['valid'])
             return SparseConvLayer(ch, st['grid'], subm=False, stride=stride,
                                    padding=padding, max_out=max_out,
                                    compute_dtype=cdt)(
@@ -256,33 +256,24 @@ class VoxelBackBone8x(nn.Module):
                         st, training, rulebook=rulebook)
             return st
 
-        tbl = level_table(st)
-        rbk0 = subm_rbk(st, tbl)
+        rbk0 = subm_rbk(st)
         st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)  # conv_input
         st = stage(st, 16, 1, rbk0)                                # conv1
         x_conv1 = st
-        st = down(st, 32, (2, 2, 2), (1, 1, 1), caps[0], tbl)
-        tbl = level_table(st)
-        st = stage(st, 32, 2, subm_rbk(st, tbl))                   # conv2
+        st = down(st, 32, (2, 2, 2), (1, 1, 1), caps[0])
+        st = stage(st, 32, 2, subm_rbk(st))                        # conv2
         x_conv2 = st
-        st = down(st, 64, (2, 2, 2), (1, 1, 1), caps[1], tbl)
-        tbl = level_table(st)
-        st = stage(st, 64, 2, subm_rbk(st, tbl))                   # conv3
+        st = down(st, 64, (2, 2, 2), (1, 1, 1), caps[1])
+        st = stage(st, 64, 2, subm_rbk(st))                        # conv3
         x_conv3 = st
-        st = down(st, 64, (2, 2, 2), (0, 1, 1), caps[2], tbl)
-        tbl = level_table(st)
-        st = stage(st, 64, 2, subm_rbk(st, tbl))                   # conv4
+        st = down(st, 64, (2, 2, 2), (0, 1, 1), caps[2])
+        st = stage(st, 64, 2, subm_rbk(st))                        # conv4
         x_conv4 = st
-        pre_out = jax.vmap(partial(
-            rb.downsample_rulebook_dense, grid=st['grid'],
-            kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
-            max_out=caps[3]))(st['coords'], st['valid'], table=tbl)
         st = SparseConvLayer(128, st['grid'], subm=False,
                              kernel_size=(3, 1, 1), stride=(2, 1, 1),
                              padding=(0, 0, 0), max_out=caps[3],
-                             compute_dtype=cdt)(st, training,
-                                                precomputed=pre_out)  # conv_out
+                             compute_dtype=cdt)(st, training)      # conv_out
         dense = jax.vmap(partial(sparse_tensor_to_dense, grid=st['grid']))(
             st['features'], st['coords'], st['valid'])
         batch_dict['encoded_spconv_features'] = dense   # (B, D, H, W, C)
@@ -389,22 +380,17 @@ class UNetV2(nn.Module):
         fracs = tuple(cfg.get('VOXEL_CAPS', (1.0, 1.0, 1.0, 1.0)))
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
-        def level_table(s):
-            return jax.vmap(partial(rb.build_dense_table, grid=s['grid']))(
-                s['coords'], s['valid'])
-
         def subm_rbk(s, table=None):
-            return jax.vmap(partial(rb.subm_rulebook_halved, grid=s['grid']))(
-                s['coords'], s['valid'], table=table)
+            return rb.subm_rulebook_batch(s['coords'], s['valid'], s['grid'])
 
         def down(s, ch, stride, padding, max_out, table=None):
             """Strided conv capturing (fine set, fwd rulebook) for the
             decoder's inverse conv."""
             feats, coords, valid = s['features'], s['coords'], s['valid']
             out_coords, out_valid, rulebook = jax.vmap(partial(
-                rb.downsample_rulebook_dense, grid=s['grid'],
+                rb.downsample_rulebook, grid=s['grid'],
                 kernel_size=(3, 3, 3), stride=stride, padding=padding,
-                max_out=max_out))(coords, valid, table=table)
+                max_out=max_out))(coords, valid)
             # run the conv through SparseConvLayer's gather-GEMM by handing
             # it the precomputed rulebook via the subm path shape contract
             layer = SparseConvLayer(ch, s['grid'], kernel_size=(3, 3, 3),
@@ -417,30 +403,24 @@ class UNetV2(nn.Module):
                          'fine_grid': s['grid'], 'rulebook': rulebook}
 
         # ---- encoder (same shape as VoxelBackBone8x) ----
-        tbl = level_table(st)
-        rbk0 = subm_rbk(st, tbl)
+        rbk0 = subm_rbk(st)
         st = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)                       # conv_input
         x_conv1 = SparseConvLayer(16, grid0, subm=True, compute_dtype=cdt)(
             st, training, rulebook=rbk0)                       # conv1
-        x_conv2, link2 = down(x_conv1, 32, (2, 2, 2), (1, 1, 1), caps[0],
-                              tbl)
-        tbl = level_table(x_conv2)
-        rbk2 = subm_rbk(x_conv2, tbl)
+        x_conv2, link2 = down(x_conv1, 32, (2, 2, 2), (1, 1, 1), caps[0])
+        rbk2 = subm_rbk(x_conv2)
         for _ in range(2):
             x_conv2 = SparseConvLayer(32, x_conv2['grid'], subm=True,
                                       compute_dtype=cdt)(
                 x_conv2, training, rulebook=rbk2)
-        x_conv3, link3 = down(x_conv2, 64, (2, 2, 2), (1, 1, 1), caps[1],
-                              tbl)
-        tbl = level_table(x_conv3)
-        rbk3 = subm_rbk(x_conv3, tbl)
+        x_conv3, link3 = down(x_conv2, 64, (2, 2, 2), (1, 1, 1), caps[1])
+        rbk3 = subm_rbk(x_conv3)
         for _ in range(2):
             x_conv3 = SparseConvLayer(64, x_conv3['grid'], subm=True,
                                       compute_dtype=cdt)(
                 x_conv3, training, rulebook=rbk3)
-        x_conv4, link4 = down(x_conv3, 64, (2, 2, 2), (0, 1, 1), caps[2],
-                              tbl)
+        x_conv4, link4 = down(x_conv3, 64, (2, 2, 2), (0, 1, 1), caps[2])
         rbk4 = subm_rbk(x_conv4)
         for _ in range(2):
             x_conv4 = SparseConvLayer(64, x_conv4['grid'], subm=True,

@@ -116,6 +116,94 @@ def conv_out_grid(grid, kernel_size, stride, padding):
                  for g, k, s, p in zip(grid, kernel_size, stride, padding))
 
 
+# ---------------------------------------------------------------------------
+# batch-flat dense tables with 128-lane rows (the production subm path)
+# ---------------------------------------------------------------------------
+#
+# Two XLA facts (measured in a device trace, see tools/profile.py trace):
+#   1. vmapping a scatter into a per-sample (cells,) table makes XLA loop
+#      over the batch with full-table dynamic-update-slice copies — ~80 ms
+#      per build at KITTI grid0.  A single scatter into ONE flat
+#      (B·cells,) table costs ~2 ms.
+#   2. scalar gathers cost ~20 ns/index; ROW gathers ~1.5 ns/row.  A table
+#      shaped (rows, 128) has minor dim exactly one lane-tile (no layout
+#      padding), so neighbor queries can fetch 512 B rows and pick the lane
+#      with a one-hot sum on the VPU.
+
+def build_dense_table_batch(coords, valid, grid):
+    """(B, V, 3) z,y,x → (B·cellsp/128, 128) int32 cell→row table (−1 empty).
+
+    cellsp = cells rounded up to a multiple of 128; sample b's cell h lives
+    at flat index b·cellsp + h.  Values are PER-SAMPLE row indices 0..V−1
+    (callers add their own batch offsets, matching the vmapped tables).
+    """
+    b, v, _ = coords.shape
+    nz, ny, nx = grid
+    cells = nz * ny * nx
+    cellsp = -(-cells // 128) * 128
+    h = (coords[..., 0] * ny + coords[..., 1]) * nx + coords[..., 2]
+    in_b = ((coords >= 0).all(-1)
+            & (coords[..., 0] < nz) & (coords[..., 1] < ny)
+            & (coords[..., 2] < nx))
+    off = (jnp.arange(b, dtype=jnp.int32) * cellsp)[:, None]
+    pos = jnp.where(valid & in_b, h + off, b * cellsp)
+    vals = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (b, v))
+    table = jnp.full((b * cellsp + 128,), -1, jnp.int32)
+    table = table.at[pos.reshape(-1)].set(vals.reshape(-1), mode='drop')
+    return table.reshape(-1, 128)
+
+
+def _query_table_batch(table2d, cell, ok, grid):
+    """cell: (B, ...) per-sample cell ids; ok: same-shape mask.
+    Row-gather + one-hot lane select → per-sample row index or −1."""
+    b = cell.shape[0]
+    nz, ny, nx = grid
+    cellsp = -(-(nz * ny * nx) // 128) * 128
+    off = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (cell.ndim - 1)) * cellsp
+    flat = jnp.where(ok, cell + off, b * cellsp)
+    row = flat >> 7
+    lane = flat & 127
+    rows = table2d[row.reshape(-1)]                      # (N, 128) row gather
+    onehot = (lane.reshape(-1)[:, None]
+              == jnp.arange(128, dtype=lane.dtype)[None, :])
+    got = (rows * onehot).sum(-1)
+    return jnp.where(ok.reshape(-1), got, -1).reshape(cell.shape)
+
+
+def subm_rulebook_batch(coords, valid, grid, kernel_size=(3, 3, 3),
+                        table2d=None):
+    """(B, V, K³) full submanifold rulebook from the batch-flat table —
+    all K³ queries are row-gathers (no halving, no mirror scatter)."""
+    b, v, _ = coords.shape
+    nz, ny, nx = grid
+    if table2d is None:
+        table2d = build_dense_table_batch(coords, valid, grid)
+    pad = tuple((k - 1) // 2 for k in kernel_size)
+    offsets = _kernel_offsets(kernel_size)               # (K, 3)
+    nbr = coords[:, :, None, :] - jnp.asarray(pad) + offsets[None, None]
+    ok = ((nbr >= 0).all(-1)
+          & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx)
+          & valid[:, :, None])
+    cell = (nbr[..., 0] * ny + nbr[..., 1]) * nx + nbr[..., 2]
+    return _query_table_batch(table2d, cell, ok, grid)
+
+
+def strided_rulebook_batch(out_coords, out_valid, grid, kernel_size, stride,
+                           padding, table2d):
+    """(B, Vout, K³) strided-conv rulebook: input site = out·s − p + offset,
+    queried against the INPUT level's batch-flat table."""
+    nz, ny, nx = grid
+    offsets = _kernel_offsets(kernel_size)
+    nbr = (out_coords[:, :, None, :] * jnp.asarray(stride)
+           - jnp.asarray(padding) + offsets[None, None])
+    ok = ((nbr >= 0).all(-1)
+          & (nbr[..., 0] < nz) & (nbr[..., 1] < ny) & (nbr[..., 2] < nx)
+          & out_valid[:, :, None])
+    cell = (nbr[..., 0] * ny + nbr[..., 1]) * nx + nbr[..., 2]
+    return _query_table_batch(table2d, cell, ok, grid)
+
+
 @partial(jax.jit, static_argnames=('grid', 'kernel_size'))
 def subm_rulebook_halved(coords, valid, grid, kernel_size=(3, 3, 3),
                          table=None):

@@ -221,3 +221,55 @@ def test_downsample_rulebook_dense_matches_sort():
                 ovn = np.asarray(ov)
                 assert np.array_equal(np.asarray(rbk)[ovn],
                                       np.asarray(rbk_d)[ovn])
+
+
+def test_subm_rulebook_batch_matches_lookup():
+    """Batch-flat 128-lane-row table rulebook == per-sample lookup_neighbors
+    (incl. invalid rows, boundary cells, both kernel shapes)."""
+    from functools import partial
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(11)
+    grid = (9, 16, 14)
+    b, v = 3, 64
+    coords = np.zeros((b, v, 3), np.int32)
+    for i in range(b):
+        cells = rng.choice(9 * 16 * 14, size=v, replace=False)
+        coords[i] = np.stack([cells // (16 * 14), (cells % (16 * 14)) // 14,
+                              cells % 14], -1)
+    valid = np.arange(v)[None, :] < np.array([64, 50, 1])[:, None]
+    for ks in ((3, 3, 3), (3, 1, 1)):
+        got = np.asarray(rb.subm_rulebook_batch(
+            jnp.asarray(coords), jnp.asarray(valid), grid, kernel_size=ks))
+        ref = np.asarray(jax.vmap(partial(
+            rb.lookup_neighbors, grid=grid, kernel_size=ks, stride=(1, 1, 1),
+            padding=tuple((k - 1) // 2 for k in ks)))(
+            jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(coords), jnp.asarray(valid)))
+        assert np.array_equal(got, ref), ks
+
+
+def test_strided_rulebook_batch_matches_lookup():
+    from functools import partial
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(13)
+    grid = (9, 16, 14)
+    b, v, mo = 2, 60, 40
+    coords = np.zeros((b, v, 3), np.int32)
+    for i in range(b):
+        cells = rng.choice(9 * 16 * 14, size=v, replace=False)
+        coords[i] = np.stack([cells // (16 * 14), (cells % (16 * 14)) // 14,
+                              cells % 14], -1)
+    valid = np.ones((b, v), bool)
+    ks, st, pd = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    oc, ov, _ = jax.vmap(partial(
+        rb.downsample_rulebook, grid=grid, kernel_size=ks, stride=st,
+        padding=pd, max_out=mo))(jnp.asarray(coords), jnp.asarray(valid))
+    table2d = rb.build_dense_table_batch(jnp.asarray(coords),
+                                         jnp.asarray(valid), grid)
+    got = np.asarray(rb.strided_rulebook_batch(oc, ov, grid, ks, st, pd,
+                                               table2d))
+    ref = np.asarray(jax.vmap(partial(
+        rb.lookup_neighbors, grid=grid, kernel_size=ks, stride=st,
+        padding=pd))(oc, ov, jnp.asarray(coords), jnp.asarray(valid)))
+    ovn = np.asarray(ov)
+    assert np.array_equal(got[ovn], ref[ovn])
