@@ -93,6 +93,27 @@ def run_bench():
     return batch_size * n_iter / dt
 
 
+def run_crb_round(timeout_s=1500):
+    """Warm CRB acquisition round (PV-RCNN, pool 512) in a subprocess —
+    the AL north-star metric (VERDICT r2 #2: <60 s warm on pool >=512).
+    Returns the warm-round seconds or -1 on failure/timeout."""
+    import subprocess
+    try:
+        res = subprocess.run(
+            [sys.executable, str(REPO_ROOT / 'tools/bench_crb.py'),
+             '--pool', '512', '--select', '20', '--model', 'pv_rcnn'],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in reversed(res.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                return float(d['value'])
+            except (ValueError, KeyError):
+                continue
+    except Exception:
+        pass
+    return -1.0
+
+
 def main():
     last_err = None
     for attempt in range(2):
@@ -108,11 +129,14 @@ def main():
                           'error': str(last_err)[:200]}))
         return
 
+    crb_sec = run_crb_round()
     print(json.dumps({
         'metric': METRIC,
         'value': round(scans_per_sec, 2),
         'unit': 'scans/sec/chip',
         'vs_baseline': round(scans_per_sec / A100_SECOND_SCANS_PER_SEC, 3),
+        'crb_round_seconds_warm': round(crb_sec, 2),
+        'crb_round_pool': 512,
     }))
 
 

@@ -1,19 +1,23 @@
-"""Pallas TPU kernels for the hot ops.
+"""Pallas TPU kernels for the sparse-conv gather-GEMM (reference
+implementation; see status below for why XLA won the production slot).
 
-The fleet-critical op is the sparse-conv gather-GEMM: XLA's formulation
-materializes the gathered (V, K³, Cin) tensor in HBM before the matmul —
-K³=27× read amplification of the feature buffer.  The Pallas kernel streams
-rulebook-directed rows straight from the feature table in VMEM into MXU
-accumulation, so each input feature row is read once per kernel offset with
-no intermediate HBM round-trip.
+The kernel streams rulebook-directed rows straight from the feature table in
+VMEM into MXU accumulation, so each input feature row is read once per
+kernel offset with no intermediate HBM round-trip.
 
-Status: numerically validated in Pallas interpret mode (tests); the deployed
-Mosaic toolchain in this environment rejects in-kernel dynamic gathers
-(``Cannot do int indexing on TPU``; same-shape ``take_along_axis`` crashes
-the remote tpu_compile_helper), so the production sparse-conv path stays on
-XLA's native gather + one-big-GEMM formulation (ops/sparse/sparse_ops.py)
-until the toolchain supports it.  Revisit with a scalar-prefetch DMA design
-once profiling shows the gather is the bottleneck.
+Status: numerically validated in Pallas interpret mode (tests).  Two facts
+keep it OFF the production path:
+  1. the deployed Mosaic toolchain rejects in-kernel dynamic gathers
+     (``Cannot do int indexing on TPU``), so the compiled form needs a
+     scalar-prefetch DMA redesign;
+  2. a device trace of the production path (tools/profile.py trace) showed
+     XLA's native row-gather + one-big-GEMM already runs the feature
+     gathers at ~1.5 ns/row — bandwidth-bound, within ~2x of the HBM
+     speed-of-light for the (V, K³·Cin) materialization — so the ceiling a
+     fused kernel could recover is small compared to the rulebook/index
+     costs that dominated instead (fixed by payload-carrying sorts and
+     128-lane-row tables in ops/sparse/rulebook.py).
+Kept as the documented Pallas counterpart + interpret-mode oracle.
 """
 
 from __future__ import annotations

@@ -131,13 +131,15 @@ def conv_out_grid(grid, kernel_size, stride, padding):
 #      with a one-hot sum on the VPU.
 
 def build_dense_table_batch(coords, valid, grid):
-    """(B, V, 3) z,y,x → (B·cellsp/128, 128) int32 cell→row table (−1 empty).
+    """(B, V, 3) z,y,x → (B·cellsp/128, 128) uint16 cell→row table.
 
     cellsp = cells rounded up to a multiple of 128; sample b's cell h lives
     at flat index b·cellsp + h.  Values are PER-SAMPLE row indices 0..V−1
-    (callers add their own batch offsets, matching the vmapped tables).
+    stored as uint16 (V ≤ 65534; 0xFFFF = empty) — halves both the table
+    memset and the row-gather traffic vs int32.
     """
     b, v, _ = coords.shape
+    assert v < 0xFFFF, 'uint16 table caps per-sample voxel count at 65534'
     nz, ny, nx = grid
     cells = nz * ny * nx
     cellsp = -(-cells // 128) * 128
@@ -147,8 +149,9 @@ def build_dense_table_batch(coords, valid, grid):
             & (coords[..., 2] < nx))
     off = (jnp.arange(b, dtype=jnp.int32) * cellsp)[:, None]
     pos = jnp.where(valid & in_b, h + off, b * cellsp)
-    vals = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (b, v))
-    table = jnp.full((b * cellsp + 128,), -1, jnp.int32)
+    vals = jnp.broadcast_to(
+        jnp.arange(v, dtype=jnp.uint16)[None, :], (b, v))
+    table = jnp.full((b * cellsp + 128,), 0xFFFF, jnp.uint16)
     table = table.at[pos.reshape(-1)].set(vals.reshape(-1), mode='drop')
     return table.reshape(-1, 128)
 
@@ -167,8 +170,9 @@ def _query_table_batch(table2d, cell, ok, grid):
     rows = table2d[row.reshape(-1)]                      # (N, 128) row gather
     onehot = (lane.reshape(-1)[:, None]
               == jnp.arange(128, dtype=lane.dtype)[None, :])
-    got = (rows * onehot).sum(-1)
-    return jnp.where(ok.reshape(-1), got, -1).reshape(cell.shape)
+    got = (rows.astype(jnp.int32) * onehot).sum(-1)
+    found = got != 0xFFFF
+    return jnp.where(ok.reshape(-1) & found, got, -1).reshape(cell.shape)
 
 
 def subm_rulebook_batch(coords, valid, grid, kernel_size=(3, 3, 3),
@@ -369,8 +373,19 @@ def downsample_rulebook(in_coords, in_valid, grid, kernel_size, stride,
     h = (o[..., 0] * (noy * nox) + o[..., 1] * nox + o[..., 2])
     h = jnp.where(ok, h, _INVALID).astype(jnp.int32).reshape(-1)
 
-    perm = jnp.argsort(h)
-    h_sorted = h[perm]
+    # multi-operand sort carries the payload THROUGH the sort — an
+    # argsort + h[perm]/kflat[perm] formulation costs 2-3 extra scalar
+    # gathers of V·C elements (~20 ns/idx on TPU, the single largest cost
+    # in a device trace of this function); lax.sort with a payload operand
+    # costs ~2x a bare sort and no gathers at all
+    n_e = h.shape[0]
+    # pack (kernel-offset, entry) into one int32: kflat < K³ ≤ 27 and
+    # n_e = V·C ≤ ~1.3M keeps kflat·n_e + e < 2³¹
+    payload = kflat.astype(jnp.int32) * n_e \
+        + jnp.arange(n_e, dtype=jnp.int32)
+    h_sorted, payload_sorted = jax.lax.sort((h, payload), num_keys=1)
+    k_e = payload_sorted // n_e
+    i_e = ((payload_sorted % n_e) // nc).astype(jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool),
                              h_sorted[1:] != h_sorted[:-1]])
     first &= h_sorted != _INVALID
@@ -387,10 +402,9 @@ def downsample_rulebook(in_coords, in_valid, grid, kernel_size, stride,
     out_coords = jnp.stack([oz, rem // nox, rem % nox], axis=1)
     out_coords = jnp.where(out_valid[:, None], out_coords, -1)
 
-    # rulebook from every sorted entry
+    # rulebook from every sorted entry (k_e/i_e decoded from the payload —
+    # zero post-sort gathers)
     valid_e = (h_sorted != _INVALID) & (slot < max_out)
-    i_e = (perm // nc).astype(jnp.int32)
-    k_e = kflat[perm]
     rulebook = jnp.full((max_out, kt), -1, jnp.int32)
     rulebook = rulebook.at[jnp.where(valid_e, slot, max_out), k_e].set(
         i_e, mode='drop')

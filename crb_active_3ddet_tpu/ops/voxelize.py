@@ -67,9 +67,12 @@ def voxelize(points, points_valid, point_cloud_range, voxel_size,
     vid = (coords[:, 2] * (ny * nx) + coords[:, 1] * nx + coords[:, 0])
     vid = jnp.where(valid, vid, num_cells)
 
-    order = jnp.argsort(vid, stable=True)  # stable → arrival order in voxel
-    vid_s = vid[order]
-    valid_s = valid[order]
+    # stable payload-carrying sort: lax.sort moves the original index WITH
+    # the key, so vid_s needs no vid[order] scalar gather afterwards
+    # (scalar gathers cost ~20 ns/idx on TPU — the payload rides free)
+    vid_s, order = jax.lax.sort(
+        (vid, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    valid_s = vid_s < num_cells
 
     first = jnp.concatenate([jnp.ones((1,), bool), vid_s[1:] != vid_s[:-1]])
     first &= valid_s
@@ -96,8 +99,11 @@ def voxelize(points, points_valid, point_cloud_range, voxel_size,
     voxel_num_points = jnp.zeros((max_voxels,), jnp.int32).at[
         jnp.where(point_ok, slot, max_voxels)].add(ones, mode='drop')
 
-    coords_s = coords[order]
-    czyx = jnp.stack([coords_s[:, 2], coords_s[:, 1], coords_s[:, 0]], axis=1)
+    # voxel coords decoded arithmetically from the sorted voxel id (no
+    # coords[order] gather); invalid rows land in the drop slot anyway
+    vz = vid_s // (ny * nx)
+    vrem = vid_s % (ny * nx)
+    czyx = jnp.stack([vz, vrem // nx, vrem % nx], axis=1)
     coord_pos = jnp.where(first & (slot < max_voxels), slot, max_voxels)
     voxel_coords = jnp.full((max_voxels, 3), -1, jnp.int32).at[coord_pos].set(
         czyx, mode='drop')
