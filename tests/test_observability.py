@@ -43,3 +43,20 @@ def test_update_dashboard_routes_to_metrics(tmp_path):
     assert seen['active_selection/num_bbox_Car'] == 5
     assert seen['active_selection/total_bbox_selected'] == 6
     assert 'active_selection/mean_points_Car' in seen
+
+
+def test_profiler_hook(tmp_path):
+    """--profile machinery: traces the first N steps then stops."""
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.runtime.train import ProfilerHook
+    h = ProfilerHook(2, tmp_path / 'prof')
+    import jax
+    f = jax.jit(lambda x: x * 2)
+    for _ in range(4):
+        h.step_start()
+        jax.block_until_ready(f(jnp.ones((8, 8))))
+        h.step_end()
+    h.close()
+    assert not h._active
+    files = list((tmp_path / 'prof').rglob('*'))
+    assert files, 'no trace output written'
