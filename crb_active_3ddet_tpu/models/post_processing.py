@@ -45,7 +45,7 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
     nms_cfg = post_cfg.get('NMS_CONFIG', None)
     score_thresh = post_cfg.get('SCORE_THRESH', None)
     if nms_cfg is not None:
-        keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms(
+        keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms_matrix(
             box_preds[:, :7], max_scores,
             iou_thresh=float(nms_cfg.NMS_THRESH),
             pre_max=int(nms_cfg.NMS_PRE_MAXSIZE),

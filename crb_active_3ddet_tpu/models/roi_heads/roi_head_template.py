@@ -40,7 +40,7 @@ def proposal_layer(batch_dict, nms_config, num_class_names: int):
 
     def single(boxes, cls):
         roi_scores, roi_labels = cls.max(-1), cls.argmax(-1)
-        keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms(
+        keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms_matrix(
             boxes[:, :7], roi_scores,
             iou_thresh=float(nms_config.NMS_THRESH),
             pre_max=int(nms_config.NMS_PRE_MAXSIZE), post_max=post)

@@ -104,10 +104,95 @@ def nms_normal(boxes, scores, iou_thresh: float, pre_max: int, post_max: int):
                        use_bev_iou=False)
 
 
+def _pairwise_iou_bev(boxes, areas, block: int = 512):
+    """(K, K) rotated BEV IoU, computed in row blocks to bound VMEM."""
+    k = boxes.shape[0]
+    cx, cy = _corners_xy(boxes)                      # (K, 4)
+    nb = -(-k // block)
+    pad = nb * block - k
+    cxp = jnp.pad(cx, ((0, pad), (0, 0)))
+    cyp = jnp.pad(cy, ((0, pad), (0, 0)))
+    areap = jnp.pad(areas, (0, pad))
+
+    def rows(i0):
+        ax = jax.lax.dynamic_slice_in_dim(cxp, i0, block, 0)   # (B, 4)
+        ay = jax.lax.dynamic_slice_in_dim(cyp, i0, block, 0)
+        a_area = jax.lax.dynamic_slice_in_dim(areap, i0, block, 0)
+        ov = jax.vmap(lambda x, y: _overlap_pairs(
+            jnp.broadcast_to(x[:, None], (4, k)),
+            jnp.broadcast_to(y[:, None], (4, k)), cx.T, cy.T))(ax, ay)
+        return ov / jnp.clip(a_area[:, None] + areas[None, :] - ov, 1e-8)
+
+    out = jnp.concatenate([rows(i * block) for i in range(nb)], axis=0)
+    return out[:k]
+
+
+@partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rounds',
+                                   'matrix_cap'))
+def rotated_nms_matrix(boxes, scores, iou_thresh: float, pre_max: int,
+                       post_max: int, score_thresh: float | None = None,
+                       rounds: int = 32, matrix_cap: int = 2048):
+    """EXACT greedy NMS via fixpoint iteration — no sequential while loop.
+
+    Greedy's keep-set is the unique solution of
+        keep_i = NOT OR_{j<i, iou(i,j)>t} keep_j       (score-descending i)
+    which converges from any start in D rounds, where D is the longest
+    suppression chain (keep→suppress alternations).  Each round is one
+    boolean matvec over the (pre_max, pre_max) IoU>t matrix — O(rounds·K²)
+    vector ops instead of post_max sequential loop iterations (a device
+    trace showed the while-loop NMS at ~24 ms/iteration under vmap — the
+    dominant cost of the whole CRB stage 2).
+
+    ``rounds`` bounds the chain length handled exactly; real suppression
+    chains are short (<10 even at train thresholds) — parity with the
+    while-loop implementation is pinned by tests over random box sets.
+
+    Same contract as :func:`rotated_nms`.  The matrix width is
+    ``min(pre_max, matrix_cap)`` — boxes ranked below it never enter the
+    kept set.  This deviates from the while-loop version only when more
+    than ``matrix_cap − post_max`` of the top-``matrix_cap`` boxes get
+    suppressed (suppression rates at real thresholds are far below that;
+    raise ``matrix_cap`` to tighten).
+    """
+    n = boxes.shape[0]
+    if score_thresh is not None:
+        scores = jnp.where(scores >= score_thresh, scores, _NEG_INF)
+    k = min(pre_max, n, matrix_cap)
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = boxes[order]
+    areas = top_boxes[:, 3] * top_boxes[:, 4]
+    alive = top_scores > _NEG_INF / 2
+
+    iou = _pairwise_iou_bev(top_boxes, areas)
+    idx = jnp.arange(k)
+    o_lower = (iou > iou_thresh) & (idx[None, :] < idx[:, None]) \
+        & alive[None, :] & alive[:, None]
+
+    def body(_, keep):
+        return ~(o_lower & keep[None, :]).any(-1)
+    keep = jax.lax.fori_loop(0, rounds, body, jnp.ones((k,), bool))
+    keep &= alive
+
+    # kept boxes in score order, capped at post_max
+    kept_scores = jnp.where(keep, top_scores, _NEG_INF)
+    keep_scores, kidx = jax.lax.top_k(kept_scores, min(post_max, k))
+    keep_valid = keep_scores > _NEG_INF / 2
+    keep_idx = jnp.where(keep_valid, order[kidx], 0).astype(jnp.int32)
+    if post_max > k:
+        pad = post_max - k
+        keep_idx = jnp.concatenate([keep_idx, jnp.zeros((pad,), jnp.int32)])
+        keep_valid = jnp.concatenate([keep_valid, jnp.zeros((pad,), bool)])
+        keep_scores = jnp.concatenate(
+            [keep_scores, jnp.full((pad,), _NEG_INF, keep_scores.dtype)])
+    return keep_idx, keep_valid, jnp.where(keep_valid, keep_scores, _NEG_INF)
+
+
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
     """Parity with ``model_nms_utils.class_agnostic_nms`` (`model_nms_utils.py:6-37`)
-    under fixed shapes."""
-    return rotated_nms(
+    under fixed shapes.  Runs the fixpoint matrix formulation — a device
+    trace showed the sequential greedy loop at ~24 ms/iteration under vmap
+    (13 s per CRB stage-2 chunk)."""
+    return rotated_nms_matrix(
         box_preds, box_scores,
         iou_thresh=float(nms_config.NMS_THRESH),
         pre_max=int(nms_config.NMS_PRE_MAXSIZE),
@@ -125,7 +210,7 @@ def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
     for c in range(num_classes):
         s = cls_scores[:, c]
         b = box_preds if box_preds.ndim == 2 else box_preds[:, c]
-        idx, valid, scores = rotated_nms(
+        idx, valid, scores = rotated_nms_matrix(
             b, s, float(nms_config.NMS_THRESH),
             int(nms_config.NMS_PRE_MAXSIZE), post,
             score_thresh=score_thresh)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.iou3d import boxes_iou3d
-from ..ops.nms import rotated_nms
+from ..ops.nms import rotated_nms_matrix
 from . import train as train_rt
 
 PSEUDO_LABELS = {}
@@ -184,7 +184,7 @@ def nms_ensemble(gt_infos_a, gt_infos_b, cfg):
     cnt = np.concatenate([gt_infos_a['memory_counter'],
                           gt_infos_b['memory_counter']])
     n = len(boxes)
-    keep_idx, keep_valid, _ = rotated_nms(
+    keep_idx, keep_valid, _ = rotated_nms_matrix(
         jnp.asarray(boxes[:, :7], jnp.float32),
         jnp.asarray(boxes[:, 8], jnp.float32),
         iou_thresh=float(cfg.NMS_THRESH), pre_max=n, post_max=n)

@@ -87,3 +87,51 @@ def test_score_thresh():
         jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_max=10, post_max=10,
         score_thresh=0.5)
     assert int(np.asarray(valid).sum()) == 5
+
+
+def test_matrix_nms_matches_greedy():
+    """Fixpoint matrix NMS == sequential greedy NMS (same keep set, order,
+    scores) across thresholds incl. the train (0.8) and eval (0.01)
+    regimes, with and without score_thresh masking."""
+    import numpy as np
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.ops import nms as nms_ops
+    rng = np.random.RandomState(3)
+    n = 300
+    # clustered boxes so suppression chains actually form
+    centers = rng.uniform(0, 40, (12, 2))
+    pick = rng.randint(0, 12, n)
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :2] = centers[pick] + rng.normal(0, 1.2, (n, 2))
+    boxes[:, 2] = 0.0
+    boxes[:, 3:5] = rng.uniform(1.5, 4.5, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.rand(n).astype(np.float32)
+
+    for thresh in (0.01, 0.3, 0.7, 0.8):
+        for st in (None, 0.2):
+            gi, gv, gs = nms_ops.rotated_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh,
+                pre_max=256, post_max=64, score_thresh=st)
+            mi, mv, ms = nms_ops.rotated_nms_matrix(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh,
+                pre_max=256, post_max=64, score_thresh=st, rounds=64)
+            gvn, mvn = np.asarray(gv), np.asarray(mv)
+            assert np.array_equal(gvn, mvn), (thresh, st)
+            assert np.array_equal(np.asarray(gi)[gvn], np.asarray(mi)[mvn]), \
+                (thresh, st)
+            np.testing.assert_allclose(np.asarray(gs)[gvn],
+                                       np.asarray(ms)[mvn], rtol=1e-6)
+
+
+def test_matrix_nms_post_exceeds_matrix():
+    import numpy as np
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.ops import nms as nms_ops
+    boxes = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 50, (40, 7)).astype(np.float32))
+    scores = jnp.asarray(np.random.RandomState(1).rand(40).astype(np.float32))
+    ki, kv, ks = nms_ops.rotated_nms_matrix(
+        boxes, scores, 0.5, pre_max=32, post_max=64, matrix_cap=16)
+    assert ki.shape == (64,) and kv.shape == (64,)
