@@ -52,7 +52,11 @@ def proposal_layer(batch_dict, nms_config, num_class_names: int):
             'roi_valid': keep_valid,
         }
 
-    out = jax.vmap(single)(box_preds, cls_preds)
+    # parity: the reference proposal layer runs under @torch.no_grad()
+    # (roi_head_template.py:45) — detaching here also keeps NMS out of the
+    # differentiated graph (leaner jvp tracing/compile)
+    out = jax.vmap(single)(jax.lax.stop_gradient(box_preds),
+                           jax.lax.stop_gradient(cls_preds))
     batch_dict.update(out)
     batch_dict['has_class_labels'] = cls_preds.shape[-1] > 1
     return batch_dict

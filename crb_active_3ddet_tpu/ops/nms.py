@@ -123,8 +123,10 @@ def _pairwise_iou_bev(boxes, areas, block: int = 512):
             jnp.broadcast_to(y[:, None], (4, k)), cx.T, cy.T))(ax, ay)
         return ov / jnp.clip(a_area[:, None] + areas[None, :] - ov, 1e-8)
 
-    out = jnp.concatenate([rows(i * block) for i in range(nb)], axis=0)
-    return out[:k]
+    # lax.map (not a Python loop): one traced copy of the clip kernel keeps
+    # the HLO small — the unrolled form blew up compile times noticeably
+    out = jax.lax.map(rows, jnp.arange(nb, dtype=jnp.int32) * block)
+    return out.reshape(nb * block, k)[:k]
 
 
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rounds',
