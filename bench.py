@@ -20,7 +20,11 @@ sys.path.insert(0, str(REPO_ROOT))
 
 A100_SECOND_SCANS_PER_SEC = 40.0
 CFG = 'tools/cfgs/synthetic_models/second_synth.yaml'
-METRIC = 'second_40kcap_scans_per_sec'
+# KITTI-geometry SECOND eval throughput at the real workload size: the 40k
+# MAX_NUMBER_OF_VOXELS safety cap keeps its truncation semantics, the device
+# buffer is bounded by VOXEL_BUFFER_CAP=24k, and the JSON line reports the
+# measured max REAL voxel count to prove the buffer covers every scan
+METRIC = 'second_eval_scans_per_sec'
 PRETRAIN_STEPS = 12
 
 
@@ -37,7 +41,7 @@ def run_bench():
     from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
 
     cfg = load_config(REPO_ROOT / CFG)
-    batch_size = 4
+    batch_size = 8
     test_set, test_loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=False,
         workers=0)
@@ -72,6 +76,24 @@ def run_bench():
 
     batches = [train_rt.host_to_device_batch(b) for _, b in
                zip(range(4), test_loader)]
+
+    # prove the VOXEL_BUFFER_CAP is lossless on this workload: count each
+    # frame's REAL (unique, in-range) voxels on the host and report the max
+    # alongside the buffer size — truncation would mean the buffer is
+    # undersized and the throughput number flattered
+    vs = np.asarray(test_set.voxel_size, np.float64)
+    pcr = np.asarray(test_set.point_cloud_range, np.float64)
+    gsz = np.asarray(test_set.grid_size, np.int64)
+    max_real_voxels = 0
+    for b in batches:
+        pts = np.asarray(b['points'])
+        npts = np.asarray(b['num_points'])
+        for f in range(pts.shape[0]):
+            p = pts[f, :npts[f], :3]
+            c = np.floor((p - pcr[:3]) / vs).astype(np.int64)
+            ok = ((c >= 0).all(1) & (c < gsz[None, :]).all(1))
+            ids = (c[ok, 2] * gsz[1] + c[ok, 1]) * gsz[0] + c[ok, 0]
+            max_real_voxels = max(max_real_voxels, len(np.unique(ids)))
     # warmup/compile + host sync
     preds, _ = eval_step(variables, batches[0])
     np.asarray(preds['pred_scores'])
@@ -90,7 +112,12 @@ def run_bench():
     for o in outs:
         np.asarray(o)
     dt = time.perf_counter() - t0
-    return batch_size * n_iter / dt
+    return {
+        'scans_per_sec': batch_size * n_iter / dt,
+        'batch_size': batch_size,
+        'voxel_buffer': int(test_set.voxel_cfg['max_voxels']),
+        'max_real_voxels': int(max_real_voxels),
+    }
 
 
 def run_crb_round(timeout_s=1500):
@@ -118,7 +145,7 @@ def main():
     last_err = None
     for attempt in range(2):
         try:
-            scans_per_sec = run_bench()
+            res = run_bench()
             break
         except Exception as e:  # tunneled TPU worker can crash/restart
             last_err = e
@@ -132,9 +159,13 @@ def main():
     crb_sec = run_crb_round()
     print(json.dumps({
         'metric': METRIC,
-        'value': round(scans_per_sec, 2),
+        'value': round(res['scans_per_sec'], 2),
         'unit': 'scans/sec/chip',
-        'vs_baseline': round(scans_per_sec / A100_SECOND_SCANS_PER_SEC, 3),
+        'vs_baseline': round(res['scans_per_sec']
+                             / A100_SECOND_SCANS_PER_SEC, 3),
+        'batch_size': res['batch_size'],
+        'voxel_buffer': res['voxel_buffer'],
+        'max_real_voxels': res['max_real_voxels'],
         'crb_round_seconds_warm': round(crb_sec, 2),
         'crb_round_pool': 512,
     }))

@@ -16,17 +16,24 @@ class _ConvBlock(nn.Module):
     features: int
     stride: int
     num_layers: int
+    dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, x, training: bool):
+        # convs run in the compute dtype (bf16 halves HBM traffic and feeds
+        # the MXU its native operand type); BN statistics stay f32 — same
+        # pattern as the 3D backbone's MaskedSparseConv
+        cdt = jnp.dtype(self.dtype)
         x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=cdt)(x.astype(cdt)).astype(jnp.float32)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          epsilon=1e-3)(x)
         x = nn.relu(x)
         for _ in range(self.num_layers):
             x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False)(x)
+                        use_bias=False,
+                        dtype=cdt)(x.astype(cdt)).astype(jnp.float32)
             x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                              epsilon=1e-3)(x)
             x = nn.relu(x)
@@ -36,19 +43,23 @@ class _ConvBlock(nn.Module):
 class _DeBlock(nn.Module):
     features: int
     upsample_stride: float
+    dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, x, training: bool):
         s = self.upsample_stride
+        cdt = jnp.dtype(self.dtype)
+        x = x.astype(cdt)
         if s >= 1:
             s = int(s)
             x = nn.ConvTranspose(self.features, (s, s), strides=(s, s),
-                                 use_bias=False)(x)
+                                 use_bias=False, dtype=cdt)(x)
         else:
             s = int(np.round(1 / s))
-            x = nn.Conv(self.features, (s, s), strides=(s, s), use_bias=False)(x)
+            x = nn.Conv(self.features, (s, s), strides=(s, s), use_bias=False,
+                        dtype=cdt)(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3)(x.astype(jnp.float32))
         return nn.relu(x)
 
 
@@ -66,22 +77,25 @@ class BaseBEVBackbone(nn.Module):
         upsample_strides = list(cfg.get('UPSAMPLE_STRIDES', []))
         num_upsample_filters = list(cfg.get('NUM_UPSAMPLE_FILTERS', []))
 
+        cdt = 'bfloat16' if cfg.get('USE_BF16', False) else 'float32'
+
         ups = []
         h_in = x.shape[1]
         for i in range(len(layer_nums)):
-            x = _ConvBlock(num_filters[i], layer_strides[i], layer_nums[i])(
-                x, training)
+            x = _ConvBlock(num_filters[i], layer_strides[i], layer_nums[i],
+                           dtype=cdt)(x, training)
             stride = int(h_in / x.shape[1])
             batch_dict[f'spatial_features_{stride}x'] = x
             if upsample_strides:
                 ups.append(_DeBlock(num_upsample_filters[i],
-                                    upsample_strides[i])(x, training))
+                                    upsample_strides[i], dtype=cdt)(x, training))
             else:
                 ups.append(x)
 
         out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
         if len(upsample_strides) > len(layer_nums):
-            out = _DeBlock(out.shape[-1], upsample_strides[-1])(out, training)
+            out = _DeBlock(out.shape[-1], upsample_strides[-1],
+                           dtype=cdt)(out, training)
         batch_dict['spatial_features_2d'] = out
         return batch_dict
 
