@@ -129,6 +129,46 @@ def _pairwise_iou_bev(boxes, areas, block: int = 512):
     return out.reshape(nb * block, k)[:k]
 
 
+def _suppress_fixpoint_packed(o_lower, rounds: int):
+    """Greedy-NMS fixpoint on a bit-packed suppression matrix.
+
+    o_lower: (K, K) bool with [i, j] = True iff j < i, both alive, and
+    iou(i, j) > thresh.  Returns keep (K,) bool — the unique greedy
+    solution of keep_i = NOT OR_j (o_lower[i, j] & keep_j).
+
+    Bit-packing the columns into uint32 words makes each fixpoint round a
+    (K, K/32) word AND + reduce (~0.5 MB at K=2048) instead of a (K, K)
+    bool matvec (4 MB) — and the while_loop exits as soon as the keep set
+    stops changing (real suppression chains converge in <10 rounds).
+    """
+    k = o_lower.shape[0]
+    w = -(-k // 32)
+    pad = w * 32 - k
+    powers = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    bits = jnp.pad(o_lower, ((0, 0), (0, pad)))
+    words = (bits.reshape(k, w, 32).astype(jnp.uint32)
+             * powers).sum(-1).astype(jnp.uint32)
+
+    def pack(keep):
+        kb = jnp.pad(keep, (0, pad)).reshape(w, 32)
+        return (kb.astype(jnp.uint32) * powers).sum(-1).astype(jnp.uint32)
+
+    def cond(state):
+        r, _, changed = state
+        return changed & (r < rounds)
+
+    def body(state):
+        r, keep, _ = state
+        kw = pack(keep)
+        new = ~((words & kw[None, :]) != 0).any(-1)
+        return r + 1, new, (new != keep).any()
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), jnp.ones((k,), bool),
+                     jnp.asarray(True)))
+    return keep
+
+
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rounds',
                                    'matrix_cap'))
 def rotated_nms_matrix(boxes, scores, iou_thresh: float, pre_max: int,
@@ -165,14 +205,20 @@ def rotated_nms_matrix(boxes, scores, iou_thresh: float, pre_max: int,
     areas = top_boxes[:, 3] * top_boxes[:, 4]
     alive = top_scores > _NEG_INF / 2
 
-    iou = _pairwise_iou_bev(top_boxes, areas)
+    if jax.default_backend() == 'tpu':
+        # Pallas clip kernel: all Sutherland–Hodgman intermediates stay in
+        # VMEM (the XLA path's per-stage compaction sorts round-trip multi-
+        # GB intermediates through HBM at this size — ~250x slower on chip)
+        from .pallas_overlap import boxes_overlap_bev_pallas
+        overlap = boxes_overlap_bev_pallas(top_boxes, top_boxes)
+        iou = overlap / jnp.clip(areas[:, None] + areas[None, :] - overlap,
+                                 1e-8)
+    else:
+        iou = _pairwise_iou_bev(top_boxes, areas)
     idx = jnp.arange(k)
     o_lower = (iou > iou_thresh) & (idx[None, :] < idx[:, None]) \
         & alive[None, :] & alive[:, None]
-
-    def body(_, keep):
-        return ~(o_lower & keep[None, :]).any(-1)
-    keep = jax.lax.fori_loop(0, rounds, body, jnp.ones((k,), bool))
+    keep = _suppress_fixpoint_packed(o_lower, rounds)
     keep &= alive
 
     # kept boxes in score order, capped at post_max

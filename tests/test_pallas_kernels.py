@@ -3,8 +3,51 @@
 import numpy as np
 import jax.numpy as jnp
 
+from crb_active_3ddet_tpu.ops.iou3d import boxes_iou_bev, boxes_overlap_bev
 from crb_active_3ddet_tpu.ops.pallas_kernels import sparse_conv_gather_gemm
+from crb_active_3ddet_tpu.ops.pallas_overlap import (boxes_iou_bev_pallas,
+                                                     boxes_overlap_bev_pallas)
 from crb_active_3ddet_tpu.ops.sparse.sparse_ops import subm_conv3d_gather
+
+
+def _random_boxes(rng, n):
+    b = np.zeros((n, 7), np.float32)
+    b[:, 0:2] = rng.uniform(-10, 10, (n, 2))
+    b[:, 2] = rng.uniform(-1, 1, n)
+    b[:, 3:6] = rng.uniform(0.5, 5.0, (n, 3))
+    b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return b
+
+
+def test_pallas_overlap_matches_xla():
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(_random_boxes(rng, 70))    # not a multiple of row_tile
+    b = jnp.asarray(_random_boxes(rng, 150))   # not a multiple of 128
+    ref = np.asarray(boxes_overlap_bev(a, b))
+    got = np.asarray(boxes_overlap_bev_pallas(a, b, row_tile=16,
+                                              interpret=True))
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_pallas_overlap_degenerate_rows():
+    rng = np.random.RandomState(4)
+    a = _random_boxes(rng, 8)
+    a[3:] = 0.0  # zero-padded (degenerate) boxes must produce zero overlap
+    b = _random_boxes(rng, 8)
+    got = np.asarray(boxes_overlap_bev_pallas(jnp.asarray(a), jnp.asarray(b),
+                                              row_tile=8, interpret=True))
+    assert np.allclose(got[3:], 0.0)
+    ref = np.asarray(boxes_overlap_bev(jnp.asarray(a[:3]), jnp.asarray(b)))
+    assert np.allclose(got[:3], ref, atol=1e-4)
+
+
+def test_pallas_iou_matches_xla():
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(_random_boxes(rng, 33))
+    ref = np.asarray(boxes_iou_bev(a, a))
+    got = np.asarray(boxes_iou_bev_pallas(a, a, row_tile=16, interpret=True))
+    assert np.allclose(got, ref, atol=1e-4)
 
 
 def test_matches_xla_gather_gemm():
