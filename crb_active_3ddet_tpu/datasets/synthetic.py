@@ -22,21 +22,25 @@ CLASS_SIZES = {
     'Pedestrian': (0.8, 0.6, 1.73, -0.8),
     'Cyclist': (1.76, 0.6, 1.73, -0.8),
 }
+# classes outside the KITTI/Waymo families (nuscenes/lyft names) get a
+# deterministic generic size so any config's CLASS_NAMES can be synthesized
+_GENERIC_SIZE = (2.8, 1.4, 1.5, -1.0)
 
 
 def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
-                points_per_obj=(60, 300)):
+                points_per_obj=(60, 300), extra_feats=1, box_extra_dim=0):
     x0, y0, z0, x1, y1, z1 = pc_range
     bg = np.stack([
         rng.uniform(x0, x1, num_bg), rng.uniform(y0, y1, num_bg),
-        rng.normal(-1.6, 0.12, num_bg), rng.uniform(0, 1, num_bg),
+        rng.normal(-1.6, 0.12, num_bg),
+        *[rng.uniform(0, 1, num_bg) for _ in range(extra_feats)],
     ], axis=1).astype(np.float32)
 
     n_obj = rng.randint(1, max_objects + 1)
     boxes, names, pts = [], [], [bg]
     for _ in range(n_obj):
         name = class_names[rng.randint(len(class_names))]
-        dx, dy, dz, zc = CLASS_SIZES[name]
+        dx, dy, dz, zc = CLASS_SIZES.get(name, _GENERIC_SIZE)
         dx *= rng.uniform(0.9, 1.1)
         dy *= rng.uniform(0.9, 1.1)
         dz *= rng.uniform(0.95, 1.05)
@@ -51,12 +55,16 @@ def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
             local[:, 0] * sa + local[:, 1] * ca + cy,
             local[:, 2] + zc,
         ], axis=1)
-        inten = rng.uniform(0, 1, (npts, 1))
-        pts.append(np.concatenate([world, inten], axis=1).astype(np.float32))
-        boxes.append([cx, cy, zc, dx, dy, dz, heading])
+        feats = rng.uniform(0, 1, (npts, extra_feats))
+        pts.append(np.concatenate([world, feats], axis=1).astype(np.float32))
+        box = [cx, cy, zc, dx, dy, dz, heading]
+        if box_extra_dim:  # e.g. (vx, vy) velocity for nuscenes-style boxes
+            box += list(rng.uniform(-2, 2, box_extra_dim))
+        boxes.append(box)
         names.append(name)
     points = np.concatenate(pts, axis=0)
-    return points, np.asarray(boxes, np.float32), np.asarray(names)
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 7 + box_extra_dim)
+    return points, boxes, np.asarray(names)
 
 
 class SyntheticDataset(DatasetTemplate):
@@ -83,10 +91,14 @@ class SyntheticDataset(DatasetTemplate):
 
     def get_scene(self, sample_id: str):
         rng = np.random.RandomState(self.seed + int(sample_id))
+        n_feat = len(self.dataset_cfg.POINT_FEATURE_ENCODING.src_feature_list)
         return _make_scene(rng, self.class_names,
                            self.point_cloud_range,
                            num_bg=int(self.dataset_cfg.get('NUM_BG_POINTS', 4096)),
-                           max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)))
+                           max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)),
+                           extra_feats=max(n_feat - 3, 0),
+                           box_extra_dim=int(self.dataset_cfg.get(
+                               'GT_BOX_EXTRA_DIM', 0)))
 
     def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:

@@ -200,7 +200,11 @@ def get_cls_layer_loss(batch_dict, core: AnchorHeadCore, reduce=True,
     cared = box_cls_labels >= 0
     positives = box_cls_labels > 0
     negatives = box_cls_labels == 0
-    cls_weights = (negatives * 1.0 + positives * 1.0).astype(jnp.float32)
+    lw = core.model_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+    # CBGS multihead configs weight bg anchors (anchor_head_multi.py:259-262)
+    pos_w = float(lw.get('pos_cls_weight', 1.0))
+    neg_w = float(lw.get('neg_cls_weight', 1.0))
+    cls_weights = (negatives * neg_w + positives * pos_w).astype(jnp.float32)
     pos_normalizer = jnp.clip(positives.sum(1, keepdims=True).astype(jnp.float32), 1.0)
     cls_weights = cls_weights / pos_normalizer
     labels = box_cls_labels
@@ -235,7 +239,11 @@ def get_box_reg_layer_loss(batch_dict, core: AnchorHeadCore, reduce=True):
                                (b, *core.flat_anchors.shape))
     box_preds = box_preds.reshape(b, -1, core.box_coder.code_size)
     preds_sin, targets_sin = add_sin_difference(box_preds, box_reg_targets)
-    loc_loss_src = loss_utils.weighted_smooth_l1_loss(
+    reg_loss_type = core.model_cfg.LOSS_CONFIG.get(
+        'REG_LOSS_TYPE', 'WeightedSmoothL1Loss')
+    reg_fn = (loss_utils.weighted_l1_loss if reg_loss_type == 'WeightedL1Loss'
+              else loss_utils.weighted_smooth_l1_loss)
+    loc_loss_src = reg_fn(
         preds_sin, targets_sin, reg_weights, code_weights=lw['code_weights'])
     if reduce:
         loc_loss = loc_loss_src.sum() / b

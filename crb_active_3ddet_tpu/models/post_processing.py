@@ -44,6 +44,32 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
 
     nms_cfg = post_cfg.get('NMS_CONFIG', None)
     score_thresh = post_cfg.get('SCORE_THRESH', None)
+    if nms_cfg is not None and bool(nms_cfg.get('MULTI_CLASSES_NMS', False)):
+        # per-class NMS, concatenated per-class layout (parity:
+        # model_nms_utils.multi_classes_nms:40-67 via detector3d_template's
+        # MULTI_CLASSES_NMS branch). Output width = C·post_max.
+        mc_scores, mc_labels, mc_boxes, mc_valid, mc_idx = \
+            nms_ops.multi_classes_nms(
+                scores, box_preds, nms_cfg,
+                score_thresh=float(score_thresh) if score_thresh else None)
+        keep_scores = mc_scores.reshape(-1)
+        keep_valid = mc_valid.reshape(-1)
+        keep_idx = mc_idx.reshape(-1)
+        out = {
+            'pred_boxes': jnp.where(
+                keep_valid[:, None],
+                mc_boxes.reshape(-1, mc_boxes.shape[-1]), 0.0),
+            'pred_scores': jnp.where(keep_valid, keep_scores, 0.0),
+            'pred_labels': jnp.where(keep_valid, mc_labels.reshape(-1), 0),
+            'pred_logits': jnp.where(keep_valid[:, None],
+                                     logits_src[keep_idx], 0.0),
+            'pred_valid': keep_valid,
+        }
+        if points is not None:
+            out['pred_box_unique_density'] = box_point_density(
+                points[:, :3], out['pred_boxes'][:, :7], points_valid,
+                keep_valid)
+        return out
     if nms_cfg is not None:
         keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms_matrix(
             box_preds[:, :7], max_scores,
@@ -66,7 +92,8 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
         keep_scores = jnp.where(keep_valid, keep_scores, -1e10)
 
     out = {
-        'pred_boxes': jnp.where(keep_valid[:, None], box_preds[keep_idx, :7], 0.0),
+        # full box width (7 for kitti/waymo; 9 with velocity for nuscenes)
+        'pred_boxes': jnp.where(keep_valid[:, None], box_preds[keep_idx], 0.0),
         'pred_scores': jnp.where(keep_valid, keep_scores, 0.0),
         'pred_labels': jnp.where(keep_valid, labels[keep_idx], 0),
         'pred_logits': jnp.where(keep_valid[:, None], logits_src[keep_idx], 0.0),
@@ -75,7 +102,7 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
     if points is not None:
         # parity: pred_box_unique_density (detector3d_template.py:379-387)
         out['pred_box_unique_density'] = box_point_density(
-            points[:, :3], out['pred_boxes'], points_valid, keep_valid)
+            points[:, :3], out['pred_boxes'][:, :7], points_valid, keep_valid)
     return out
 
 

@@ -250,21 +250,28 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
 
 
 def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
-    """Per-class NMS (parity: ``model_nms_utils.multi_classes_nms:40-67``)."""
+    """Per-class NMS (parity: ``model_nms_utils.multi_classes_nms:40-67``).
+
+    Returns stacked (C, post) scores/labels/valid/idx and (C, post, D) boxes
+    — the caller flattens to the reference's concatenated per-class layout.
+    ``idx`` indexes the source anchor row (for logits export).
+    """
     import jax.numpy as jnp
     num_classes = cls_scores.shape[1]
     post = int(nms_config.NMS_POST_MAXSIZE)
-    out_scores, out_boxes, out_valid, out_labels = [], [], [], []
+    out = {'scores': [], 'boxes': [], 'valid': [], 'labels': [], 'idx': []}
     for c in range(num_classes):
         s = cls_scores[:, c]
         b = box_preds if box_preds.ndim == 2 else box_preds[:, c]
         idx, valid, scores = rotated_nms_matrix(
-            b, s, float(nms_config.NMS_THRESH),
+            b[:, :7], s, float(nms_config.NMS_THRESH),
             int(nms_config.NMS_PRE_MAXSIZE), post,
             score_thresh=score_thresh)
-        out_scores.append(scores)
-        out_boxes.append(b[idx])
-        out_valid.append(valid)
-        out_labels.append(jnp.full((post,), c + 1, jnp.int32))
-    return (jnp.stack(out_scores), jnp.stack(out_labels),
-            jnp.stack(out_boxes), jnp.stack(out_valid))
+        out['scores'].append(scores)
+        out['boxes'].append(b[idx])
+        out['valid'].append(valid)
+        out['labels'].append(jnp.full((post,), c + 1, jnp.int32))
+        out['idx'].append(idx)
+    return (jnp.stack(out['scores']), jnp.stack(out['labels']),
+            jnp.stack(out['boxes']), jnp.stack(out['valid']),
+            jnp.stack(out['idx']))

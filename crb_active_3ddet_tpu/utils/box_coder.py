@@ -41,8 +41,12 @@ class ResidualCoder:
             rts = [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)]
         else:
             rts = [rg - ra]
+        # extras (e.g. nuscenes vx/vy) up to code_size — NOT boxes' width:
+        # gt may carry more dims than the coder regresses (lyft gt has a
+        # separate velocity array the reference never encodes)
+        n_extra = self.code_size - (8 if self.encode_angle_by_sincos else 7)
         cts = [boxes[..., 7 + i:8 + i] - anchors[..., 7 + i:8 + i]
-               for i in range(boxes.shape[-1] - 7)]
+               for i in range(n_extra)]
         return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rts, *cts], axis=-1)
 
     def decode(self, encodings, anchors):

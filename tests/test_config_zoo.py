@@ -16,6 +16,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 KITTI = sorted(p.name for p in (REPO / 'tools/cfgs/kitti_models').glob('*.yaml'))
 WAYMO = sorted(p.name for p in (REPO / 'tools/cfgs/waymo_models').glob('*.yaml'))
+NUSC = sorted(p.name for p in (REPO / 'tools/cfgs/nuscenes_models').glob('*.yaml'))
+LYFT = sorted(p.name for p in (REPO / 'tools/cfgs/lyft_models').glob('*.yaml'))
 
 pytestmark = [pytest.mark.zoo, pytest.mark.slow]
 
@@ -29,9 +31,13 @@ def _voxel_size(data_cfg):
     return [0.16, 0.16, 4.0]
 
 
-def _shrink(cfg):
+def _shrink(cfg, with_velocity=False, with_timestamp=False):
     """Replace DATA_CONFIG with a synthetic one at the config's voxel
-    geometry but a small x/y extent; clamp a few capacity knobs."""
+    geometry but a small x/y extent; clamp a few capacity knobs.
+    with_velocity: nuscenes-style 9-dim gt boxes (vx, vy).
+    with_timestamp: 5-feature points (x, y, z, intensity, timestamp) —
+    nuscenes AND lyft (lyft gt boxes stay 7-dim: the reference stores
+    velocity outside ``info['gt_boxes']``, lyft_utils.py:206-211)."""
     from crb_active_3ddet_tpu.config import CfgNode, load_config
     vs = _voxel_size(cfg.DATA_CONFIG)
     pcr = [float(x) for x in cfg.DATA_CONFIG.POINT_CLOUD_RANGE]
@@ -55,15 +61,18 @@ def _shrink(cfg):
                    'MAX_POINTS_PER_VOXEL': 5,
                    'MAX_NUMBER_OF_VOXELS': {'train': 3000, 'test': 3000},
                    'MAX_POINTS_PER_FRAME': {'train': 4096, 'test': 4096}}]
+    feats = ['x', 'y', 'z', 'intensity'] + \
+        (['timestamp'] if (with_velocity or with_timestamp) else [])
     data_cfg = CfgNode({
         'DATASET': 'SyntheticDataset', 'DATA_PATH': '/tmp/synthetic',
         'POINT_CLOUD_RANGE': new_pcr, 'NUM_SCENES': 4, 'SEED': 5,
         'NUM_BG_POINTS': 2048, 'MAX_OBJECTS': 4, 'MAX_GT_BOXES': 12,
+        'GT_BOX_EXTRA_DIM': 2 if with_velocity else 0,
         'DATA_SPLIT': {'train': 'train', 'test': 'val'},
         'POINT_FEATURE_ENCODING': {
             'encoding_type': 'absolute_coordinates_encoding',
-            'used_feature_list': ['x', 'y', 'z', 'intensity'],
-            'src_feature_list': ['x', 'y', 'z', 'intensity']},
+            'used_feature_list': feats,
+            'src_feature_list': feats},
         'GET_ITEM_LIST': (['images', 'depth_maps', 'calib_matricies',
                            'gt_boxes2d'] if is_image else ['points']),
         'IMAGE_SHAPE': [96, 320], 'IMAGE_PAD_SHAPE': [96, 320],
@@ -142,4 +151,20 @@ def test_kitti_zoo(name):
 def test_waymo_zoo(name):
     from crb_active_3ddet_tpu.config import load_config
     cfg = _shrink(load_config(REPO / 'tools/cfgs/waymo_models' / name))
+    _one_step(cfg)
+
+
+@pytest.mark.parametrize('name', NUSC)
+def test_nuscenes_zoo(name):
+    from crb_active_3ddet_tpu.config import load_config
+    cfg = _shrink(load_config(REPO / 'tools/cfgs/nuscenes_models' / name),
+                  with_velocity=True)
+    _one_step(cfg)
+
+
+@pytest.mark.parametrize('name', LYFT)
+def test_lyft_zoo(name):
+    from crb_active_3ddet_tpu.config import load_config
+    cfg = _shrink(load_config(REPO / 'tools/cfgs/lyft_models' / name),
+                  with_timestamp=True)
     _one_step(cfg)

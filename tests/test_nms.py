@@ -135,3 +135,65 @@ def test_matrix_nms_post_exceeds_matrix():
     ki, kv, ks = nms_ops.rotated_nms_matrix(
         boxes, scores, 0.5, pre_max=32, post_max=64, matrix_cap=16)
     assert ki.shape == (64,) and kv.shape == (64,)
+
+
+def test_multi_classes_nms_per_class_and_velocity():
+    """Per-class NMS: each class suppressed independently (parity:
+    model_nms_utils.multi_classes_nms); 9-dim (velocity) boxes pass through."""
+    rng = np.random.RandomState(3)
+    n, c = 24, 3
+    boxes = _rand_boxes(rng, n)
+    velo = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    boxes9 = np.concatenate([boxes, velo], axis=1)
+    cls_scores = rng.rand(n, c).astype(np.float32)
+
+    class NmsCfg(dict):
+        __getattr__ = dict.__getitem__
+    cfg = NmsCfg(NMS_THRESH=0.3, NMS_PRE_MAXSIZE=24, NMS_POST_MAXSIZE=8)
+
+    sc, lb, bx, vd, ix = nms_ops.multi_classes_nms(
+        jnp.asarray(cls_scores), jnp.asarray(boxes9), cfg, score_thresh=0.1)
+    assert bx.shape == (c, 8, 9)
+    for k in range(c):
+        keep = _numpy_nms_oracle(boxes, np.where(
+            cls_scores[:, k] >= 0.1, cls_scores[:, k], -2e9), 0.3)[:8]
+        got = np.asarray(ix[k])[np.asarray(vd[k])]
+        assert list(got) == keep, k
+        assert (np.asarray(lb[k]) == k + 1).all()
+        np.testing.assert_allclose(
+            np.asarray(bx[k])[np.asarray(vd[k])], boxes9[keep], rtol=1e-6)
+
+
+def test_post_processing_multi_class_dispatch():
+    """post_processing routes MULTI_CLASSES_NMS configs through per-class
+    NMS and keeps full (velocity) box width."""
+    from crb_active_3ddet_tpu.models import post_processing as pp
+
+    class Node(dict):
+        def __getattr__(self, k):
+            return self[k]
+    rng = np.random.RandomState(11)
+    b, a, c = 2, 32, 4
+    boxes = np.stack([_rand_boxes(rng, a) for _ in range(b)])
+    velo = rng.uniform(-1, 1, (b, a, 2)).astype(np.float32)
+    batch = {
+        'batch_size': b,
+        'batch_cls_preds': jnp.asarray(rng.randn(b, a, c).astype(np.float32)),
+        'batch_box_preds': jnp.asarray(
+            np.concatenate([boxes, velo], axis=-1)),
+        'cls_preds_normalized': False,
+    }
+    post_cfg = Node(SCORE_THRESH=0.1, NMS_CONFIG=Node(
+        MULTI_CLASSES_NMS=True, NMS_THRESH=0.2,
+        NMS_PRE_MAXSIZE=32, NMS_POST_MAXSIZE=8))
+    out = pp.post_processing(batch, post_cfg, num_class=c)
+    assert out['pred_boxes'].shape == (b, c * 8, 9)
+    assert out['pred_labels'].shape == (b, c * 8)
+    lbl = np.asarray(out['pred_labels'])
+    vd = np.asarray(out['pred_valid'])
+    assert set(np.unique(lbl[vd])) <= set(range(1, c + 1))
+    # per-class blocks carry that class's label
+    lbl_grid = lbl.reshape(b, c, 8)
+    for k in range(c):
+        blk = lbl_grid[:, k][vd.reshape(b, c, 8)[:, k]]
+        assert (blk == k + 1).all()
