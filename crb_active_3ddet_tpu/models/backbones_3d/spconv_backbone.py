@@ -227,11 +227,12 @@ class VoxelBackBone8x(nn.Module):
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
         def subm_rbk(st):
-            # batch-flat table + row-gather queries (see rulebook.py notes:
-            # vmapped per-sample tables loop in XLA; scalar gathers are 13x
-            # slower than 128-lane row gathers)
-            return rb.subm_rulebook_batch(st['coords'], st['valid'],
-                                          st['grid'])
+            # sort-join rulebook: no dense table, no row gathers — two
+            # payload sorts + scans; relies on the voxelizer's/downsample's
+            # cell-sorted coord order (4x faster than the dense-table
+            # build+query at the bench workload; see rulebook.py)
+            return rb.subm_rulebook_sortjoin(st['coords'], st['valid'],
+                                             st['grid'])
 
         def down(st, ch, stride, padding, max_out):
             # sort-based fused downsample: one ~V·C-element device sort
@@ -381,7 +382,9 @@ class UNetV2(nn.Module):
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
         def subm_rbk(s, table=None):
-            return rb.subm_rulebook_batch(s['coords'], s['valid'], s['grid'])
+            # sort-join path (see VoxelBackBone8x note / rulebook.py)
+            return rb.subm_rulebook_sortjoin(s['coords'], s['valid'],
+                                             s['grid'])
 
         def down(s, ch, stride, padding, max_out, table=None):
             """Strided conv capturing (fine set, fwd rulebook) for the

@@ -23,6 +23,11 @@ _EPS = 1e-8
 _CAP = 8  # max vertices of the intersection of two convex quads
 
 
+def pltpu_roll(a):
+    """roll(a, -1, axis=0) — row i gets a[i+1], last row gets a[0]."""
+    return jnp.roll(a, -1, axis=0)
+
+
 def _corners_xy(boxes):
     """(N, 7) → corner arrays x, y each (N, 4), CCW."""
     dx2, dy2 = boxes[:, 3] / 2.0, boxes[:, 4] / 2.0
@@ -41,9 +46,13 @@ def _clip_halfplane_soa(px, py, n, e1x, e1y, e2x, e2y):
     px, py: (CAP, P) padded vertex coords; n: (P,) counts;
     e*: (P,) edge endpoints. Returns (px', py', n')."""
     idx = jnp.arange(_CAP)[:, None]                       # (CAP, 1)
-    nxt = jnp.where(idx + 1 >= n[None, :], 0, idx + 1)    # (CAP, P)
-    vnx = jnp.take_along_axis(px, nxt, axis=0)
-    vny = jnp.take_along_axis(py, nxt, axis=0)
+    # next vertex = i+1, wrapping to 0 at the count: roll(-1) + select —
+    # a take_along_axis here lowers to ~20 ns/element scalar gathers and
+    # dominated the whole eval step in a device trace (8 fused takes of
+    # 13 ms each); the roll/select form is pure VPU
+    wrap = idx + 1 >= n[None, :]                          # (CAP, P)
+    vnx = jnp.where(wrap, px[0:1], pltpu_roll(px))
+    vny = jnp.where(wrap, py[0:1], pltpu_roll(py))
     ex, ey = (e2x - e1x)[None, :], (e2y - e1y)[None, :]
     d = ex * (py - e1y[None, :]) - ey * (px - e1x[None, :])
     dn = ex * (vny - e1y[None, :]) - ey * (vnx - e1x[None, :])
@@ -72,9 +81,9 @@ def _clip_halfplane_soa(px, py, n, e1x, e1y, e2x, e2y):
 
 def _poly_area_soa(px, py, n):
     idx = jnp.arange(_CAP)[:, None]
-    nxt = jnp.where(idx + 1 >= n[None, :], 0, idx + 1)
-    vnx = jnp.take_along_axis(px, nxt, axis=0)
-    vny = jnp.take_along_axis(py, nxt, axis=0)
+    wrap = idx + 1 >= n[None, :]
+    vnx = jnp.where(wrap, px[0:1], pltpu_roll(px))
+    vny = jnp.where(wrap, py[0:1], pltpu_roll(py))
     terms = px * vny - vnx * py
     terms = jnp.where(idx < n[None, :], terms, 0.0)
     return 0.5 * jnp.abs(terms.sum(axis=0))

@@ -23,7 +23,7 @@ from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
 from test_train_loop import tiny_data_cfg
 from test_pointpillar_model import MODEL_CFG
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.xslow]
 
 BATCH = 8
 

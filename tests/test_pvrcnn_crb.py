@@ -15,7 +15,7 @@ from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
 from test_train_loop import tiny_data_cfg
 from test_pvrcnn_model import PVRCNN_CFG
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.xslow]
 
 
 def make_cfg():

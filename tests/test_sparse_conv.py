@@ -273,3 +273,47 @@ def test_strided_rulebook_batch_matches_lookup():
         padding=pd))(oc, ov, jnp.asarray(coords), jnp.asarray(valid)))
     ovn = np.asarray(ov)
     assert np.array_equal(got[ovn], ref[ovn])
+
+
+def test_subm_rulebook_sortjoin_matches_batch():
+    """Sort-join subm rulebook == dense-table rulebook on cell-SORTED
+    unique coords (the voxelizer/downsample output contract), including
+    boundary cells, an all-invalid tail, and a nearly-empty sample."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(7)
+    grid = (9, 16, 14)
+    b, v = 3, 64
+    coords = np.full((b, v, 3), -1, np.int32)
+    n_valid = [64, 50, 1]
+    for i in range(b):
+        cells = np.sort(rng.choice(9 * 16 * 14, size=n_valid[i],
+                                   replace=False))
+        coords[i, :n_valid[i]] = np.stack(
+            [cells // (16 * 14), (cells % (16 * 14)) // 14, cells % 14], -1)
+    valid = np.arange(v)[None, :] < np.asarray(n_valid)[:, None]
+    got = np.asarray(rb.subm_rulebook_sortjoin(
+        jnp.asarray(coords), jnp.asarray(valid), grid))
+    ref = np.asarray(rb.subm_rulebook_batch(
+        jnp.asarray(coords), jnp.asarray(valid), grid))
+    assert np.array_equal(got, ref)
+
+
+def test_subm_rulebook_sortjoin_dense_cluster():
+    """Sort-join on a fully dense 3x3x3 cluster: every in-bounds neighbor
+    must be found (stresses the dx+-1 prev/next-cell arithmetic)."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    grid = (6, 6, 6)
+    zz, yy, xx = np.meshgrid(np.arange(1, 4), np.arange(1, 4),
+                             np.arange(1, 4), indexing='ij')
+    coords = np.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1)
+    cells = (coords[:, 0] * 6 + coords[:, 1]) * 6 + coords[:, 2]
+    coords = coords[np.argsort(cells)].astype(np.int32)[None]
+    valid = np.ones((1, 27), bool)
+    got = np.asarray(rb.subm_rulebook_sortjoin(
+        jnp.asarray(coords), jnp.asarray(valid), grid))[0]
+    ref = np.asarray(rb.subm_rulebook_batch(
+        jnp.asarray(coords), jnp.asarray(valid), grid))[0]
+    assert np.array_equal(got, ref)
+    # the center voxel sees all 27 neighbors
+    center = np.where((coords[0] == 2).all(-1))[0][0]
+    assert (got[center] >= 0).all()
