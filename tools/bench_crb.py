@@ -87,6 +87,8 @@ def main():
         'per_frame_ms': round(per_frame_ms, 2),
         'cold_round_sec': round(cold, 2),
         'selected': len(selected),
+        'stages': {k: round(v, 2)
+                   for k, v in getattr(strat, 'stage_times', {}).items()},
     }
     print(json.dumps(out))
 
