@@ -120,7 +120,7 @@ def run_bench():
     }
 
 
-def run_crb_round(timeout_s=1500):
+def run_crb_round(timeout_s=2700):
     """Warm CRB acquisition round (PV-RCNN, pool 512) in a subprocess —
     the AL north-star metric (VERDICT r2 #2: <60 s warm on pool >=512).
     Returns the warm-round seconds or -1 on failure/timeout."""

@@ -83,6 +83,10 @@ class SyntheticDataset(DatasetTemplate):
         self.infos = [{'frame_id': sid, 'point_cloud': {'lidar_idx': sid}}
                       for sid in self.sample_id_list]
         self.kitti_infos = self.infos  # alias, kitti-style attr name
+        # scene cache: real datasets read fixed frames from disk (~ms); the
+        # generator costs tens of ms per frame on a small host, which would
+        # dominate AL pool scans that touch every frame each round
+        self._scene_cache = {}
 
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:
@@ -90,15 +94,22 @@ class SyntheticDataset(DatasetTemplate):
         return len(self.sample_id_list)
 
     def get_scene(self, sample_id: str):
+        cached = self._scene_cache.get(sample_id)
+        if cached is not None:
+            points, boxes, names = cached
+            return points.copy(), boxes.copy(), names.copy()
         rng = np.random.RandomState(self.seed + int(sample_id))
         n_feat = len(self.dataset_cfg.POINT_FEATURE_ENCODING.src_feature_list)
-        return _make_scene(rng, self.class_names,
-                           self.point_cloud_range,
-                           num_bg=int(self.dataset_cfg.get('NUM_BG_POINTS', 4096)),
-                           max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)),
-                           extra_feats=max(n_feat - 3, 0),
-                           box_extra_dim=int(self.dataset_cfg.get(
-                               'GT_BOX_EXTRA_DIM', 0)))
+        scene = _make_scene(rng, self.class_names,
+                            self.point_cloud_range,
+                            num_bg=int(self.dataset_cfg.get('NUM_BG_POINTS', 4096)),
+                            max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)),
+                            extra_feats=max(n_feat - 3, 0),
+                            box_extra_dim=int(self.dataset_cfg.get(
+                                'GT_BOX_EXTRA_DIM', 0)))
+        self._scene_cache[sample_id] = scene
+        points, boxes, names = scene
+        return points.copy(), boxes.copy(), names.copy()
 
     def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:

@@ -38,15 +38,21 @@ class StackSAModuleMSG(nn.Module):
         """xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None.
         Returns (B, M, sum_k mlps[k][-1])."""
         outs = []
+        # ONE row-gather per radius from a combined [xyz | feat] table —
+        # separate xyz/feature gathers each pay the per-row gather cost
+        # (rows < 128 lanes cost the same as a full 128-lane row), so
+        # fusing the tables halves the dominant HBM-read cost
+        table = (jnp.concatenate([xyz, features], axis=-1)
+                 if features is not None else xyz)
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             idx, cnt = jax.vmap(partial(pn2.ball_query, radius, nsample))(
                 xyz, xyz_valid, new_xyz, new_xyz_valid)   # (B, M, ns)
-            grouped_xyz = jax.vmap(pn2.grouping_operation)(xyz, idx)
-            grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+            grouped_all = jax.vmap(pn2.grouping_operation)(table, idx)
+            grouped_xyz = grouped_all[..., :3] - new_xyz[:, :, None, :]
             if features is not None:
-                grouped_feat = jax.vmap(pn2.grouping_operation)(features, idx)
-                grouped = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1) \
-                    if self.use_xyz else grouped_feat
+                grouped = jnp.concatenate(
+                    [grouped_xyz, grouped_all[..., 3:]], axis=-1) \
+                    if self.use_xyz else grouped_all[..., 3:]
             else:
                 grouped = grouped_xyz
             # zero out empty groups / invalid centers

@@ -32,21 +32,21 @@ def farthest_point_sample(points, valid, num_samples: int):
     indices repeat (harmless downstream, like the reference's behavior with
     padded buffers).
     """
-    n = points.shape[0]
-
-    def body(i, carry):
-        min_dist, idxs, last = carry
+    def step(carry, _):
+        min_dist, last = carry
         d = jnp.sum((points - points[last]) ** 2, axis=1)
         min_dist = jnp.minimum(min_dist, jnp.where(valid, d, -_BIG))
         nxt = jnp.argmax(min_dist).astype(jnp.int32)
-        idxs = idxs.at[i].set(nxt)
-        return min_dist, idxs, nxt
+        return (min_dist, nxt), nxt
 
+    # sequential by nature; unrolling trades a little HLO size for ~8x
+    # fewer while-loop steps (each step's math is tiny — O(N) distance
+    # update — so per-step loop overhead dominates on TPU)
     first = jnp.asarray(0, jnp.int32)
-    init = (jnp.where(valid, _BIG, -_BIG),
-            jnp.zeros((num_samples,), jnp.int32).at[0].set(first), first)
-    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, init)
-    return idxs
+    init = (jnp.where(valid, _BIG, -_BIG), first)
+    _, rest = jax.lax.scan(step, init, None, length=num_samples - 1,
+                           unroll=8)
+    return jnp.concatenate([first[None], rest])
 
 
 @partial(jax.jit, static_argnames=('nsample',))

@@ -87,7 +87,11 @@ class CRBSampling(Strategy):
             self._grad_fns[chunk] = self._build_grad_fn(chunk)
         grad_fn = self._grad_fns[chunk]
         rng = jax.random.PRNGKey(1)
-        frame_ids, grads = [], []
+        # pipelined like scan_pool: dispatch every chunk (device executes in
+        # order while the host collates the next chunk), materialize at the
+        # end — a per-chunk np.asarray sync costs a full host↔device round
+        # trip per chunk on top of serializing collate against compute
+        pending = []
         for i0 in range(0, len(k1_frames), chunk):
             fids = k1_frames[i0:i0 + chunk]
             load_ids = fids + [fids[-1]] * (chunk - len(fids))
@@ -101,11 +105,17 @@ class CRBSampling(Strategy):
                         [reg_results[f] for f in load_ids]))}
             else:
                 targets = {}
-            g = np.asarray(grad_fn(self.variables, host_batch, sub, targets))
+            pending.append(
+                (fids, grad_fn(self.variables, host_batch, sub, targets)))
+        frame_ids, grads = [], []
+        for fids, g_dev in pending:
+            g = np.asarray(g_dev)
             for j, fid in enumerate(fids):
                 grads.append(g[j].reshape(-1))
                 frame_ids.append(fid)
-        embeddings = np.stack(grads).astype(np.float64)
+        # float32 like the reference's torch-numpy embeddings — f64 doubles
+        # the host-side kmeans++ cost on a (K1·N, 64k) matrix for nothing
+        embeddings = np.stack(grads).astype(np.float32)
         n_k2 = int(n_select * self.k2)
         if self.prototype == 'kmeans++':
             _, sel_idx = kmeans_plusplus(embeddings, n_clusters=n_k2,

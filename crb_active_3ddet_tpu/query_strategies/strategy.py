@@ -213,11 +213,22 @@ class Strategy:
             pending.append((batch['frame_id'],
                             score_fn(self.variables, host_batch, sub)))
         records = {}
-        for frame_ids, sig in pending:
-            sig = jax.tree.map(np.asarray, sig)
-            for i, fid in enumerate(frame_ids):
-                records[fid] = {k: v[i] for k, v in sig.items()}
-                self.save_points(fid, records[fid])
+        if not pending:
+            return records
+        # ONE device-side concat + ONE fetch per signal: a per-batch
+        # per-signal np.asarray costs a host↔device round trip each
+        # (~27 ms RPC floor on the tunneled backend × batches × signals
+        # dwarfs the compute)
+        all_ids = [fid for frame_ids, _ in pending for fid in frame_ids]
+        keys = list(pending[0][1].keys())
+        stacked = {}
+        for k in keys:
+            parts = [sig[k] for _, sig in pending]
+            stacked[k] = np.asarray(jnp.concatenate(parts, axis=0)
+                                    if len(parts) > 1 else parts[0])
+        for i, fid in enumerate(all_ids):
+            records[fid] = {k: stacked[k][i] for k in keys}
+            self.save_points(fid, records[fid])
         return records
 
     # ---- bookkeeping (reference-parity surfaces) ---------------------------

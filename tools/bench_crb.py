@@ -52,7 +52,7 @@ def main():
         'TOTAL_BUDGET_NUMS': args.select,
         'ACTIVE_CONFIG': {'K1': 5, 'K2': 3, 'BANDWDITH': 5,
                           'CLUSTERING': 'kmeans++'}})
-    batch_size = 4
+    batch_size = 8
     (lab_set, unlab_set, lab_loader, unlab_loader, _, _) = \
         build_active_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, workers=0,
