@@ -40,6 +40,25 @@ model = build_detector(cfg.MODEL, len(cfg.CLASS_NAMES), test_set)
 optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1)
 state = train_rt.init_train_state(model, optimizer, test_set, batch_size)
 log('state init done')
+
+# brief pretrain like bench.py: an untrained model keeps every anchor above
+# SCORE_THRESH, driving the NMS fixpoint to its worst case — the trace would
+# then overstate the NMS share vs the production (trained) workload
+train_set, train_loader, _ = build_dataloader(
+    cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=True, workers=0)
+train_step = train_rt.make_train_step(model, optimizer, train_set)
+rng = jax.random.PRNGKey(0)
+it = iter(train_loader)
+for _ in range(12):
+    try:
+        b = next(it)
+    except StopIteration:
+        it = iter(train_loader)
+        b = next(it)
+    rng, sub = jax.random.split(rng)
+    state, _m = train_step(state, train_rt.host_to_device_batch(b), sub)
+log('pretrain done')
+
 variables = {'params': state.params, 'batch_stats': state.batch_stats}
 eval_step = eval_rt.make_eval_step(model, test_set, cfg.MODEL.POST_PROCESSING,
                                    num_class=len(cfg.CLASS_NAMES))
