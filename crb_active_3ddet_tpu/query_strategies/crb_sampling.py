@@ -133,6 +133,20 @@ class CRBSampling(Strategy):
         else:
             raise NotImplementedError(self.prototype)
         k2_frames = [frame_ids[i] for i in sel_idx]
+        # sklearn center pickers can return duplicate indices when grad
+        # embeddings collapse (tiny models / saturated heads); the greedy
+        # GPDB would then happily select the same frame twice.  De-dup
+        # preserving cluster order and backfill from the stage-1 ranking so
+        # stage 3 always sees n_k2 distinct candidates.
+        seen = set()
+        k2_frames = [f for f in k2_frames
+                     if not (f in seen or seen.add(f))]
+        for f in k1_frames:
+            if len(k2_frames) >= n_k2:
+                break
+            if f not in seen:
+                seen.add(f)
+                k2_frames.append(f)
         print(f'--- {{{self.prototype}}} running time: '
               f'{time.time() - start:.2f} seconds for fc grads---')
         self.stage_times['crb_stage2_s'] = time.time() - start
