@@ -28,13 +28,20 @@ _GENERIC_SIZE = (2.8, 1.4, 1.5, -1.0)
 
 
 def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
-                points_per_obj=(60, 300), extra_feats=1, box_extra_dim=0):
+                points_per_obj=(60, 300), extra_feats=1, box_extra_dim=0,
+                min_separation=0.0, empty_fraction=0.0):
     x0, y0, z0, x1, y1, z1 = pc_range
     bg = np.stack([
         rng.uniform(x0, x1, num_bg), rng.uniform(y0, y1, num_bg),
         rng.normal(-1.6, 0.12, num_bg),
         *[rng.uniform(0, 1, num_bg) for _ in range(extra_feats)],
     ], axis=1).astype(np.float32)
+
+    # heterogeneous-pool mode (AL tests): a fraction of scenes carry no
+    # objects at all, so informed acquisition has junk frames to avoid
+    if empty_fraction > 0 and rng.uniform() < empty_fraction:
+        return (bg, np.zeros((0, 7 + box_extra_dim), np.float32),
+                np.asarray([], dtype='<U16'))
 
     n_obj = rng.randint(1, max_objects + 1)
     boxes, names, pts = [], [], [bg]
@@ -46,6 +53,15 @@ def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
         dz *= rng.uniform(0.95, 1.05)
         cx = rng.uniform(x0 + 3, x1 - 3)
         cy = rng.uniform(y0 + 2, y1 - 2)
+        if min_separation > 0:
+            # easy-scene mode (detection-quality gate): resample the center
+            # until it clears every placed box, so labels are unambiguous
+            for _retry in range(16):
+                if all((cx - b[0]) ** 2 + (cy - b[1]) ** 2
+                       >= min_separation ** 2 for b in boxes):
+                    break
+                cx = rng.uniform(x0 + 3, x1 - 3)
+                cy = rng.uniform(y0 + 2, y1 - 2)
         heading = rng.uniform(-np.pi, np.pi)
         npts = rng.randint(*points_per_obj)
         local = rng.uniform(-0.5, 0.5, (npts, 3)) * np.array([dx, dy, dz])
@@ -100,13 +116,19 @@ class SyntheticDataset(DatasetTemplate):
             return points.copy(), boxes.copy(), names.copy()
         rng = np.random.RandomState(self.seed + int(sample_id))
         n_feat = len(self.dataset_cfg.POINT_FEATURE_ENCODING.src_feature_list)
+        ppo = self.dataset_cfg.get('POINTS_PER_OBJECT', (60, 300))
         scene = _make_scene(rng, self.class_names,
                             self.point_cloud_range,
                             num_bg=int(self.dataset_cfg.get('NUM_BG_POINTS', 4096)),
                             max_objects=int(self.dataset_cfg.get('MAX_OBJECTS', 12)),
+                            points_per_obj=(int(ppo[0]), int(ppo[1])),
                             extra_feats=max(n_feat - 3, 0),
                             box_extra_dim=int(self.dataset_cfg.get(
-                                'GT_BOX_EXTRA_DIM', 0)))
+                                'GT_BOX_EXTRA_DIM', 0)),
+                            min_separation=float(self.dataset_cfg.get(
+                                'MIN_SEPARATION', 0.0)),
+                            empty_fraction=float(self.dataset_cfg.get(
+                                'EMPTY_FRACTION', 0.0)))
         self._scene_cache[sample_id] = scene
         points, boxes, names = scene
         return points.copy(), boxes.copy(), names.copy()

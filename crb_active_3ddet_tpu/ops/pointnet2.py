@@ -66,7 +66,7 @@ def ball_query(radius: float, nsample: int, xyz, xyz_valid, new_xyz,
     n = xyz.shape[0]
     # compaction as an MXU one-hot contraction: each hit's slot is its rank
     # among the row's hits; idx[m, s] = Σ_n onehot(slot)[m, n, s] · n.  The
-    # measured ladder on v5e (tools/profile_* + /tmp benches): scalar
+    # measured ladder on v5e (`tools/profile.py gather` + /tmp benches): scalar
     # scatter 500+ ms → top_k 86 ms → searchsorted 40 ms → this, ~15 ms per
     # (1024 × 18k) query.  Exact: f32 represents indices < 2^24.
     ranks = jnp.cumsum(in_ball.astype(jnp.int32), axis=1)       # (M, N)

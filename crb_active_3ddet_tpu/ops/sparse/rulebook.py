@@ -315,7 +315,7 @@ def subm_rulebook_halved(coords, valid, grid, kernel_size=(3, 3, 3),
     the K//2 offsets below the center; the center column is the identity; the
     upper half is filled by scattering each found pair back mirrored.  Halves
     the dominant cost of rulebook construction — the ~13-43ns/element scalar
-    table gathers (measured on v5e; see tools/profile_lookup*.py).
+    table gathers (measured on v5e; see `tools/profile.py gather`).
 
     Replaces spconv's GPU hash build for SubMConv3d
     (reference: pcdet/utils/spconv_utils.py:3-8 usage sites).

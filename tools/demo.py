@@ -64,7 +64,9 @@ def main():
     parser.add_argument('--out', type=str, default=None)
     parser.add_argument('--vis', type=str, default=None,
                         help="'bev' saves <frame>_bev.png per frame "
-                             "(headless); 'open3d' opens the interactive "
+                             "(headless); 'html' writes an interactive 3D "
+                             "<frame>_3d.html (no deps, opens in a "
+                             "browser); 'open3d' opens the interactive "
                              "viewer when open3d is installed")
     args = parser.parse_args()
 
@@ -118,6 +120,15 @@ def main():
                 if args.vis == 'open3d':
                     vis_utils.draw_scenes(scene_pts, ref_boxes=det['boxes'],
                                           ref_scores=det['scores'])
+                elif args.vis == 'html':
+                    path = vis_utils.draw_scenes_html(
+                        scene_pts, ref_boxes=det['boxes'],
+                        ref_scores=det['scores'],
+                        ref_labels=[cfg.CLASS_NAMES.index(n) + 1
+                                    for n in det['labels']],
+                        class_names=list(cfg.CLASS_NAMES),
+                        save_path=f"{det['frame_id']}_3d.html")
+                    logger.info('wrote %s', path)
                 else:
                     path = vis_utils.draw_scenes_bev(
                         scene_pts, ref_boxes=det['boxes'],

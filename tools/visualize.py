@@ -121,6 +121,15 @@ def main():
                         ref_boxes=det['boxes_lidar'],
                         ref_scores=det['score'], save_path=str(path))
         logger.info('wrote %s', path)
+        from visual_utils.vis_utils import draw_scenes_html
+        path3d = out / f'frame_{args.frame}_3d.html'
+        draw_scenes_html(pts, gt_boxes=gt[:, :7] if gt is not None else None,
+                         ref_boxes=det['boxes_lidar'],
+                         ref_scores=det['score'],
+                         ref_labels=det.get('pred_labels'),
+                         class_names=list(cfg.CLASS_NAMES),
+                         save_path=str(path3d))
+        logger.info('wrote %s (interactive 3D)', path3d)
 
     if args.show_top:
         for det in det_annos[:10]:
