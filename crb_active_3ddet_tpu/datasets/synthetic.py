@@ -55,13 +55,17 @@ def _make_scene(rng, class_names, pc_range, num_bg=4096, max_objects=12,
         cy = rng.uniform(y0 + 2, y1 - 2)
         if min_separation > 0:
             # easy-scene mode (detection-quality gate): resample the center
-            # until it clears every placed box, so labels are unambiguous
+            # until it clears every placed box, so labels are unambiguous;
+            # if retries exhaust, drop the object rather than place an
+            # overlapping box that would violate that premise
             for _retry in range(16):
                 if all((cx - b[0]) ** 2 + (cy - b[1]) ** 2
                        >= min_separation ** 2 for b in boxes):
                     break
                 cx = rng.uniform(x0 + 3, x1 - 3)
                 cy = rng.uniform(y0 + 2, y1 - 2)
+            else:
+                continue
         heading = rng.uniform(-np.pi, np.pi)
         npts = rng.randint(*points_per_obj)
         local = rng.uniform(-0.5, 0.5, (npts, 3)) * np.array([dx, dy, dz])

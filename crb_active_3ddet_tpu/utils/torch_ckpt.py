@@ -140,7 +140,13 @@ class _TorchUnpickler(pickle.Unpickler):
         assert isinstance(pid, tuple) and pid[0] == 'storage', pid
         stype, key, _location, _numel = pid[1], pid[2], pid[3], pid[4]
         if not isinstance(stype, _StorageType):  # e.g. UntypedStorage path
-            stype = _StorageType(getattr(stype, 'name', 'FloatStorage'))
+            stype = _StorageType(getattr(stype, 'name', ''))
+        if stype.dtype is None:
+            # decoding with a default dtype would yield silently-garbage
+            # tensors; unknown storages must be a hard error
+            raise ValueError(
+                f'unsupported torch storage type {stype.name!r}; known: '
+                f'{sorted(_STORAGE_DTYPES)}')
         raw = self._load_storage(str(key))
         arr = np.frombuffer(raw, dtype=stype.dtype)
         return (arr, stype)
@@ -165,14 +171,16 @@ def load_torch_file(path):
             with zf.open(pkl_name) as f:
                 data = f.read()
             return _TorchUnpickler(io.BytesIO(data), load_storage).load()
-    # legacy sequential-pickle format
+    # legacy sequential-pickle format — weights_only=True keeps torch's
+    # restricted unpickler engaged; these files come from untrusted zoo
+    # downloads, so arbitrary-pickle execution is never acceptable here
     try:
         import torch
     except ImportError as e:
         raise RuntimeError(
             f'{path} is not a torch zip archive and torch is unavailable '
             'for the legacy format') from e
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    ckpt = torch.load(path, map_location='cpu', weights_only=True)
 
     def to_np(x):
         return x.detach().cpu().numpy() if hasattr(x, 'detach') else x
