@@ -89,3 +89,80 @@ def sparse_conv_gather_gemm(features, rulebook, weights, block_v: int = 256,
         interpret=interpret,
     )(rb_t, features, weights)
     return out[:v_out]
+
+
+# ---------------------------------------------------------------------------
+# Farthest point sampling — the PV-RCNN eval step's single hottest op
+# ---------------------------------------------------------------------------
+
+def _fps_kernel(pts_ref, out_ref, dist_ref, num_samples: int):
+    """Single-sample FPS entirely in VMEM.
+
+    pts_ref: (8, N) f32 — rows 0..2 = x/y/z, row 3 = validity (1/0);
+    out_ref: (num_samples, 128) i32, index broadcast across lanes;
+    dist_ref: (1, N) f32 scratch.
+
+    The XLA formulation (ops/pointnet2.farthest_point_sample) runs
+    num_samples sequential fusions against HBM-resident state — a device
+    trace measured ~0.2 ms PER ITERATION of loop/fusion overhead (202 ms of
+    a 1356 ms batch-16 PV-RCNN scorer step).  Here the point set (20k × 4
+    rows ≈ 640 KB) and the min-distance state live in VMEM for the whole
+    K-iteration loop; each iteration is ~6 short VPU passes with no HBM
+    traffic, no per-iteration dispatch, and no dynamic int indexing (the
+    argmax point's coordinates come from masked reductions — the deployed
+    Mosaic toolchain rejects int gathers in-kernel)."""
+    n = pts_ref.shape[1]
+    xs = pts_ref[0:1, :]
+    ys = pts_ref[1:2, :]
+    zs = pts_ref[2:3, :]
+    validf = pts_ref[3:4, :]                       # 1.0 valid / 0.0 pad
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    # start from index 0 (reference sampling_gpu.cu:25 semantics).  The
+    # output is (num_samples, 128) with the index broadcast across lanes:
+    # Mosaic rejects scalar VMEM stores and dynamic LANE-offset stores
+    # ("cannot statically prove index is a multiple of 128"), but a full
+    # (1, 128) row store at a dynamic SUBLANE offset is provable.  The
+    # wrapper reads lane 0.
+    out_ref[0:1, :] = jnp.zeros((1, 128), jnp.int32)
+    dist_ref[:] = jnp.where(validf > 0, 1e10, -1e10)
+    sel0 = (lane == 0).astype(jnp.float32)
+    x0 = jnp.sum(xs * sel0)
+    y0 = jnp.sum(ys * sel0)
+    z0 = jnp.sum(zs * sel0)
+
+    def body(i, carry):
+        xc, yc, zc = carry
+        d = (xs - xc) ** 2 + (ys - yc) ** 2 + (zs - zc) ** 2
+        d = jnp.where(validf > 0, d, -1e10)
+        dist_ref[:] = jnp.minimum(dist_ref[:], d)
+        nxt = jnp.argmax(dist_ref[0, :]).astype(jnp.int32)
+        out_ref[pl.ds(i, 1), :] = jnp.full((1, 128), nxt, jnp.int32)
+        sel = (lane == nxt).astype(jnp.float32)
+        return (jnp.sum(xs * sel), jnp.sum(ys * sel), jnp.sum(zs * sel))
+
+    jax.lax.fori_loop(1, num_samples, body, (x0, y0, z0))
+
+
+@partial(jax.jit, static_argnames=('num_samples', 'interpret'))
+def farthest_point_sample_pallas(points, valid, num_samples: int,
+                                 interpret: bool = False):
+    """(N, 3) padded points + (N,) validity → (num_samples,) int32 indices.
+    Numerically identical to ops.pointnet2.farthest_point_sample (same f32
+    distance math, same first-max argmax tie-breaking); parity-tested in
+    interpret mode."""
+    n = points.shape[0]
+    n_pad = (-n) % 128
+    rows = jnp.concatenate([points.astype(jnp.float32).T,
+                            valid.astype(jnp.float32)[None, :],
+                            jnp.zeros((4, n), jnp.float32)], axis=0)
+    rows = jnp.pad(rows, ((0, 0), (0, n_pad)))     # (8, N_pad), pads invalid
+    out = pl.pallas_call(
+        partial(_fps_kernel, num_samples=num_samples),
+        out_shape=jax.ShapeDtypeStruct((num_samples, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, rows.shape[1]), jnp.float32)],
+        interpret=interpret,
+    )(rows)
+    return out[:, 0]

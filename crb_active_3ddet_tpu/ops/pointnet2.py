@@ -32,6 +32,15 @@ def farthest_point_sample(points, valid, num_samples: int):
     indices repeat (harmless downstream, like the reference's behavior with
     padded buffers).
     """
+    if jax.default_backend() == 'tpu':
+        # Pallas kernel: the whole K-iteration loop runs against
+        # VMEM-resident state — the XLA scan below pays ~0.2 ms of
+        # fusion/loop overhead PER ITERATION on the device (traced at 202
+        # ms for a batch-16 PV-RCNN scorer step); the kernel collapses
+        # that to ~ms.  Bit-identical selection (parity-tested).
+        from .pallas_kernels import farthest_point_sample_pallas
+        return farthest_point_sample_pallas(points, valid, num_samples)
+
     def step(carry, _):
         min_dist, last = carry
         d = jnp.sum((points - points[last]) ** 2, axis=1)

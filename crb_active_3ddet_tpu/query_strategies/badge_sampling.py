@@ -66,7 +66,7 @@ class BadgeSampling(Strategy):
             grad_embeddings, frame_ids = cached['embeddings'], cached['frame_ids']
         else:
             # pass 1: pool scan for bookkeeping + hypothetical rpn labels
-            records = self.scan_pool()
+            records = self.scan_pool(signals=())  # bookkeeping
             hyp = {}
             rng = jax.random.PRNGKey(17)
             for batch in self.unlabelled_loader:

@@ -16,7 +16,8 @@ from .strategy import Strategy
 class BALDSampling(Strategy):
     def query(self, leave_pbar=True, cur_epoch=None):
         assert self.cfg.ACTIVE_TRAIN.AGGREGATION == 'mean'
-        records = self.scan_pool(mc_dropout=True, num_mc=1)
+        records = self.scan_pool(mc_dropout=True, num_mc=1,
+                                 signals=('box_entropy',))
         select_dic = {fid: float(r['box_entropy'])
                       for fid, r in records.items()}
         ranked = sorted(select_dic.items(), key=lambda kv: kv[1])

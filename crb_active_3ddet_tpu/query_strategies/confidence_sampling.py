@@ -11,7 +11,7 @@ from .strategy import Strategy
 class ConfidenceSampling(Strategy):
     def query(self, leave_pbar=True, cur_epoch=None):
         assert self.cfg.ACTIVE_TRAIN.AGGREGATION == 'mean'
-        records = self.scan_pool()
+        records = self.scan_pool(signals=('confidence_entropy',))
         select_dic = {fid: float(r['confidence_entropy'])
                       for fid, r in records.items()}
         ranked = sorted(select_dic.items(), key=lambda kv: kv[1])

@@ -40,7 +40,7 @@ def furthest_first(X, X_set, n):
 
 class CoresetSampling(Strategy):
     def query(self, leave_pbar=True, cur_epoch=None):
-        unlabeled = self.scan_pool()
+        unlabeled = self.scan_pool(signals=('embeddings',))
         unlabeled_ids = list(unlabeled.keys())
         unlabeled_emb = np.stack([unlabeled[f]['embeddings']
                                   for f in unlabeled_ids])
@@ -51,7 +51,7 @@ class CoresetSampling(Strategy):
         from ..runtime.train import host_to_device_batch
         for batch in self.labelled_loader:
             rng, sub = jax.random.split(rng)
-            sig = self._score_fns[(False, 0)](
+            sig = self._score_fns[(False, 0, frozenset(('embeddings',)))](
                 self.variables, host_to_device_batch(batch), sub)
             labeled_emb.append(np.asarray(sig['embeddings']))
         labeled_emb = np.concatenate(labeled_emb, axis=0)

@@ -57,7 +57,15 @@ class CRBSampling(Strategy):
         # ---------------- Stage 1: concise label sampling ----------------
         t_stage1 = time.time()
         num_mc = int(self.cfg.MODEL.get('SAMPLING_ROUND', 5))
-        records = self.scan_pool(mc_dropout=True, num_mc=num_mc)
+        # slim scorer: only the signals stages 1-3 consume (label-histogram
+        # entropy for the K1 filter, densities/labels for GPDB, MC-mean rcnn
+        # outputs as stage-2 hypothetical targets) — the per-anchor entropy /
+        # MC-variance / embedding signals of the full scorer are for OTHER
+        # strategies and XLA prunes their compute here (VERDICT r4 #1a)
+        records = self.scan_pool(
+            mc_dropout=True, num_mc=num_mc,
+            signals=('label_entropy', 'pred_density', 'pred_labels',
+                     'pred_valid', 'batch_rcnn_cls', 'batch_rcnn_reg'))
         select_dic = {fid: float(r['label_entropy'])
                       for fid, r in records.items()}
         density_list = {fid: r['pred_density'][r['pred_valid']]

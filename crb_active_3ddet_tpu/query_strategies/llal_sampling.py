@@ -10,7 +10,7 @@ from .strategy import Strategy
 
 class LLALSampling(Strategy):
     def query(self, leave_pbar=True, cur_epoch=None):
-        records = self.scan_pool()
+        records = self.scan_pool(signals=('loss_predictions',))
         missing = [f for f, r in records.items() if 'loss_predictions' not in r]
         if missing:
             raise RuntimeError(

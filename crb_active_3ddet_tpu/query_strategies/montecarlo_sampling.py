@@ -15,7 +15,8 @@ from .strategy import Strategy
 class MonteCarloSampling(Strategy):
     def query(self, leave_pbar=True, cur_epoch=None):
         num_mc = int(self.cfg.MODEL.get('SAMPLING_ROUND', 5))
-        records = self.scan_pool(mc_dropout=True, num_mc=num_mc)
+        records = self.scan_pool(mc_dropout=True, num_mc=num_mc,
+                                 signals=('mc_cls_var', 'mc_box_var'))
         select_dic = {
             fid: float(r['mc_cls_var']) + float(r['mc_box_var'])
             for fid, r in records.items()}

@@ -76,8 +76,24 @@ class Strategy:
         self.mesh = default_mesh(loader_batch_size(unlabelled_loader))
 
     # ---- jitted pool scoring ------------------------------------------------
-    def build_score_fn(self, mc_dropout: bool = False, num_mc: int = 0):
-        """Jitted (variables, host_batch, rng) → per-frame signal dict."""
+    #: signal names whose computation rides on the NMS'd predictions — when a
+    #: strategy requests none of these, the scorer skips post_processing
+    #: entirely (XLA prunes the NMS + density compute out of the jit)
+    _PRED_SIGNALS = frozenset({'box_entropy', 'label_entropy', 'pred_density',
+                               'pred_labels', 'pred_valid'})
+
+    def build_score_fn(self, mc_dropout: bool = False, num_mc: int = 0,
+                       signals=None):
+        """Jitted (variables, host_batch, rng) → per-frame signal dict.
+
+        ``signals``: optional iterable of signal names to emit — the slim
+        scorer variant (VERDICT r4 #1).  None keeps every fixed-width signal
+        (back-compat).  The per-frame gt bookkeeping stats are always
+        included (``save_points`` consumes them for the dashboard parity
+        surfaces).  Requesting fewer signals lets XLA dead-code-eliminate
+        the corresponding compute: e.g. coreset/llal/confidence need no NMS
+        at all, so the whole post-processing graph drops out of their pool
+        scan."""
         dataset = self.unlabelled_set
         model = self.model
         post_cfg = self.cfg.MODEL.POST_PROCESSING
@@ -86,6 +102,10 @@ class Strategy:
         grid_size = tuple(int(g) for g in dataset.grid_size)
         pcr = tuple(float(x) for x in dataset.point_cloud_range)
         vs = tuple(float(v) for v in dataset.voxel_size)
+        want = None if signals is None else frozenset(signals)
+
+        def wanted(name):
+            return want is None or name in want
 
         def score(variables, host_batch, rng):
             batch = prepare_device_batch(host_batch, voxel_cfg, grid_size,
@@ -132,12 +152,15 @@ class Strategy:
             else:
                 out = model.apply(variables, batch, training=False)
 
-            preds = pp.post_processing(out, post_cfg, num_class=num_class)
+            need_preds = want is None or bool(want & self._PRED_SIGNALS)
+            preds = pp.post_processing(out, post_cfg, num_class=num_class) \
+                if need_preds else None
 
             signals = {}
-            # frame-level predictive entropy over kept-box logits
-            signals['box_entropy'] = jax.vmap(_softmax_entropy)(
-                preds['pred_logits'], preds['pred_valid'])
+            if wanted('box_entropy'):
+                # frame-level predictive entropy over kept-box logits
+                signals['box_entropy'] = jax.vmap(_softmax_entropy)(
+                    preds['pred_logits'], preds['pred_valid'])
             # CRB stage-1: Shannon entropy of the predicted label histogram.
             # Reference quirk (crb_sampling.py:86-93): absent classes get a
             # pseudo-count of 1 (`unique_proportions = torch.ones(num_class)`)
@@ -149,33 +172,42 @@ class Strategy:
                 p = hist / hist.sum()
                 ent = -(p * jnp.log(p)).sum()
                 return jnp.where(valid.any(), ent, 0.0)
-            signals['label_entropy'] = jax.vmap(label_hist_entropy)(
-                preds['pred_labels'], preds['pred_valid'])
-            # all-anchor confidence entropy (confidence strategy)
-            cls_sig = jax.nn.sigmoid(out['batch_cls_preds'])
-            signals['confidence_entropy'] = jax.vmap(
-                lambda s: _softmax_entropy(s))(cls_sig)
-            signals['pred_density'] = preds['pred_box_unique_density']
-            signals['pred_labels'] = preds['pred_labels']
-            signals['pred_valid'] = preds['pred_valid']
+            if wanted('label_entropy'):
+                signals['label_entropy'] = jax.vmap(label_hist_entropy)(
+                    preds['pred_labels'], preds['pred_valid'])
+            if wanted('confidence_entropy'):
+                # all-anchor confidence entropy (confidence strategy)
+                cls_sig = jax.nn.sigmoid(out['batch_cls_preds'])
+                signals['confidence_entropy'] = jax.vmap(
+                    lambda s: _softmax_entropy(s))(cls_sig)
+            if wanted('pred_density'):
+                signals['pred_density'] = preds['pred_box_unique_density']
+            if wanted('pred_labels'):
+                signals['pred_labels'] = preds['pred_labels']
+            if wanted('pred_valid'):
+                signals['pred_valid'] = preds['pred_valid']
             if mc_dropout and num_mc > 1:
-                signals['mc_cls_var'] = out['mc_cls_var'].mean(axis=(1, 2))
-                signals['mc_box_var'] = out['mc_box_var'].mean(axis=(1, 2))
-                if 'batch_rcnn_cls' in out:
+                if wanted('mc_cls_var'):
+                    signals['mc_cls_var'] = out['mc_cls_var'].mean(axis=(1, 2))
+                if wanted('mc_box_var'):
+                    signals['mc_box_var'] = out['mc_box_var'].mean(axis=(1, 2))
+                if 'batch_rcnn_cls' in out and wanted('batch_rcnn_cls'):
                     # CRB stage-2 hypothetical targets: the MC-mean rcnn
                     # outputs (reference crb_sampling.py:97-99 caches
                     # batch_rcnn_cls/batch_rcnn_reg per frame)
                     signals['batch_rcnn_cls'] = out['batch_rcnn_cls']
                     signals['batch_rcnn_reg'] = out['batch_rcnn_reg']
-            if 'loss_predictions' in out:
+            if 'loss_predictions' in out and wanted('loss_predictions'):
                 signals['loss_predictions'] = out['loss_predictions'].reshape(-1)
-            if 'shared_features' in out:
-                b = preds['pred_valid'].shape[0]
-                signals['embeddings'] = out['shared_features'].reshape(b, -1)
-            else:
-                # single-stage fallback for coreset: mean-pooled BEV features
-                signals['embeddings'] = out['spatial_features_2d'].mean(
-                    axis=(1, 2))
+            if wanted('embeddings'):
+                if 'shared_features' in out:
+                    b = out['batch_cls_preds'].shape[0]
+                    signals['embeddings'] = out['shared_features'].reshape(
+                        b, -1)
+                else:
+                    # single-stage fallback for coreset: mean-pooled BEV feats
+                    signals['embeddings'] = out['spatial_features_2d'].mean(
+                        axis=(1, 2))
             # bookkeeping gt stats (dashboard parity)
             gt_stats = jax.vmap(partial(pp.gt_class_stats,
                                         num_classes=num_class))(
@@ -192,26 +224,54 @@ class Strategy:
                            out_shardings=replicated(self.mesh))
         return jax.jit(score)
 
-    def scan_pool(self, mc_dropout=False, num_mc=0, rng=None, loader=None):
+    def scan_pool(self, mc_dropout=False, num_mc=0, rng=None, loader=None,
+                  signals=None):
         """Run the jitted scorer over the whole unlabelled pool.
 
         Returns dict frame_id → {signal: np.array}, in pool order.
+        ``signals`` selects the slim scorer variant (see build_score_fn).
         """
         loader = loader if loader is not None else self.unlabelled_loader
-        key = (bool(mc_dropout), int(num_mc))
+        want = None if signals is None else frozenset(signals)
+        key = (bool(mc_dropout), int(num_mc), want)
         if key not in self._score_fns:
-            self._score_fns[key] = self.build_score_fn(mc_dropout, num_mc)
+            self._score_fns[key] = self.build_score_fn(mc_dropout, num_mc,
+                                                       signals=want)
         score_fn = self._score_fns[key]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         # pipeline: dispatch every batch first (device executes in order),
         # materialize afterwards — avoids paying the host-sync round trip
-        # once per batch (measured ~27 ms on the tunneled dev chip)
+        # once per batch (measured ~27 ms on the tunneled dev chip).  A
+        # one-batch-lookahead prefetch thread runs getitem/collate +
+        # host→device transfer concurrently with the dispatch loop, so the
+        # single-core host's collate no longer serializes against the
+        # transfer RPCs of the previous batch (VERDICT r4 #1c).
+        import queue
+        import threading
+        q = queue.Queue(maxsize=2)
+
+        def produce():
+            try:
+                for batch in loader:
+                    q.put((batch['frame_id'], host_to_device_batch(batch)))
+                q.put(None)
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
         pending = []
-        for batch in loader:
-            host_batch = host_to_device_batch(batch)
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            frame_ids, host_batch = item
             rng, sub = jax.random.split(rng)
-            pending.append((batch['frame_id'],
+            pending.append((frame_ids,
                             score_fn(self.variables, host_batch, sub)))
+        t.join()
         records = {}
         if not pending:
             return records

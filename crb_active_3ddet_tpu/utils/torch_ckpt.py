@@ -374,6 +374,101 @@ def _map_dense_head(sd, targets, out_p, out_s):
                 sd[f'dense_head.{name}.bias'])
 
 
+def _map_vfe(sd, targets, out_p, out_s):
+    """PillarVFE PFN layers: reference ``vfe.pfn_layers.{i}.linear`` +
+    ``.norm`` (pillar_vfe.py:22-23) → our ``vfe.PFNLayer_{i}.Dense_0`` +
+    ``BatchNorm_0``."""
+    for i in range(8):
+        flax_prefix = ('vfe', f'PFNLayer_{i}')
+        if flax_prefix + ('Dense_0', 'kernel') not in targets:
+            break
+        w_key = f'vfe.pfn_layers.{i}.linear.weight'
+        if w_key not in sd:
+            break
+        out_p[flax_prefix + ('Dense_0', 'kernel')] = _t_linearish(sd[w_key])
+        bn_prefix = f'vfe.pfn_layers.{i}.norm'
+        if f'{bn_prefix}.running_mean' in sd:
+            _bn_into(out_p, out_s, flax_prefix, 'BatchNorm_0', {
+                'weight': sd[f'{bn_prefix}.weight'],
+                'bias': sd[f'{bn_prefix}.bias'],
+                'running_mean': sd[f'{bn_prefix}.running_mean'],
+                'running_var': sd[f'{bn_prefix}.running_var']})
+
+
+def _fold_bn_into_conv2d(w, bn, eps=1e-3):
+    """Fold a torch BatchNorm2d that FOLLOWS a bias-free torch Conv2d into a
+    flax conv (kernel, bias) pair — inference-exact.
+
+    Used where our module runs conv→relu while the reference runs
+    conv(bias=False)→BN→relu (CenterHead SeparateHead branches,
+    center_head.py:22-27): y = γ·(Wx − μ)/√(σ²+ε) + β ≡ (γ/√(σ²+ε))·Wx +
+    (β − γμ/√(σ²+ε))."""
+    gamma = np.asarray(bn['weight'], np.float64)
+    beta = np.asarray(bn['bias'], np.float64)
+    mean = np.asarray(bn['running_mean'], np.float64)
+    var = np.asarray(bn['running_var'], np.float64)
+    inv = gamma / np.sqrt(var + eps)
+    w_f = _t_conv2d(np.asarray(w, np.float64)) * inv[None, None, None, :]
+    b_f = beta - mean * inv
+    return w_f.astype(np.float32), b_f.astype(np.float32)
+
+
+# CenterHead branch names: reference SeparateHead attribute → our flax
+# branch prefix (center_head.py builds hm/center/center_z/dim/rot branches)
+_CENTER_BRANCHES = ('hm', 'center', 'center_z', 'dim', 'rot')
+
+
+def _map_center_head(sd, targets, out_p, out_s):
+    """CenterHead: reference ``dense_head.shared_conv.{0,1}`` +
+    ``dense_head.heads_list.0.{branch}.{i}...`` (center_head.py:73-88)
+    → our ``dense_head.{Conv_0, BatchNorm_0, {branch}_conv/{branch}_out}``.
+
+    The reference branch = Sequential(Conv2d(bias=False), BN, ReLU) + final
+    biased Conv2d; ours = biased Conv → relu → biased Conv, so the branch BN
+    folds into the first conv (inference-exact).  Multi-head-group configs
+    (CLASS_NAMES_EACH_HEAD with >1 groups) are not yet mapped — only
+    heads_list.0."""
+    if ('dense_head', 'Conv_0', 'kernel') not in targets or \
+            'dense_head.shared_conv.0.weight' not in sd:
+        return
+    out_p[('dense_head', 'Conv_0', 'kernel')] = _t_conv2d(
+        sd['dense_head.shared_conv.0.weight'])
+    if 'dense_head.shared_conv.1.running_mean' in sd:
+        _bn_into(out_p, out_s, ('dense_head',), 'BatchNorm_0', {
+            'weight': sd['dense_head.shared_conv.1.weight'],
+            'bias': sd['dense_head.shared_conv.1.bias'],
+            'running_mean': sd['dense_head.shared_conv.1.running_mean'],
+            'running_var': sd['dense_head.shared_conv.1.running_var']})
+    for br in _CENTER_BRANCHES:
+        # reference names the heatmap branch 'hm' inside sep_head_dict.
+        # Branch layout (num_conv=2, the shipped configs): nested
+        # Sequential — {br}.0.0 = bias-free Conv, {br}.0.1 = BN, {br}.1 =
+        # final biased Conv.
+        t = f'dense_head.heads_list.0.{br}'
+        conv_path = ('dense_head', f'{br}_conv')
+        out_path = ('dense_head', f'{br}_out')
+        if conv_path + ('kernel',) not in targets or \
+                f'{t}.0.0.weight' not in sd:
+            continue
+        # first (bias-free) conv + its BN fold into our biased branch conv
+        if f'{t}.0.1.running_mean' in sd:
+            w_f, b_f = _fold_bn_into_conv2d(sd[f'{t}.0.0.weight'], {
+                'weight': sd[f'{t}.0.1.weight'],
+                'bias': sd[f'{t}.0.1.bias'],
+                'running_mean': sd[f'{t}.0.1.running_mean'],
+                'running_var': sd[f'{t}.0.1.running_var']})
+        else:
+            w_f = _t_conv2d(sd[f'{t}.0.0.weight'])
+            b_f = sd.get(f'{t}.0.0.bias',
+                         np.zeros(w_f.shape[-1], np.float32))
+        out_p[conv_path + ('kernel',)] = w_f
+        out_p[conv_path + ('bias',)] = np.asarray(b_f)
+        # final biased conv maps directly
+        if f'{t}.1.weight' in sd:
+            out_p[out_path + ('kernel',)] = _t_conv2d(sd[f'{t}.1.weight'])
+            out_p[out_path + ('bias',)] = np.asarray(sd[f'{t}.1.bias'])
+
+
 def _map_sa_module(sd, torch_prefix, flax_prefix, out_p, out_s):
     """StackSAModuleMSG: per-branch shared mlps → flat Dense_i/BatchNorm_i
     counters in branch order (matching our pointnet2 SA module layout)."""
@@ -473,9 +568,11 @@ def map_openpcdet_state(sd, params_tree, stats_tree):
     targets.update(s_flat)
 
     out_p, out_s = {}, {}
+    _map_vfe(sd, targets, out_p, out_s)
     _map_backbone3d(sd, targets, out_p, out_s)
     _map_backbone2d(sd, targets, out_p, out_s)
     _map_dense_head(sd, targets, out_p, out_s)
+    _map_center_head(sd, targets, out_p, out_s)
     _map_pfe(sd, targets, out_p, out_s)
     _map_point_head(sd, targets, out_p, out_s)
     _map_roi_head(sd, targets, out_p, out_s)

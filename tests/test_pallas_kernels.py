@@ -83,3 +83,27 @@ def test_unaligned_voxel_count():
                                   interpret=True)
     assert got.shape == (37, 16)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fps_pallas_parity():
+    """farthest_point_sample_pallas (interpret) matches the XLA scan
+    bit-exactly — same f32 distance math, same first-max tie-breaking."""
+    import numpy as np
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.ops.pallas_kernels import \
+        farthest_point_sample_pallas
+    from crb_active_3ddet_tpu.ops import pointnet2 as pn2
+
+    rng = np.random.RandomState(42)
+    for n, k, nv in ((300, 32, 300), (1024, 256, 640), (129, 64, 129)):
+        pts = (rng.randn(n, 3) * 8).astype(np.float32)
+        valid = np.arange(n) < nv
+        # call the scan formulation directly (the public fn dispatches to
+        # pallas on TPU; tests run on CPU so it IS the scan)
+        ref = np.asarray(pn2.farthest_point_sample(
+            jnp.asarray(pts), jnp.asarray(valid), k))
+        got = np.asarray(farthest_point_sample_pallas(
+            jnp.asarray(pts), jnp.asarray(valid), k, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+        # all selected indices must be valid points
+        assert (got < nv).all()

@@ -256,3 +256,212 @@ def test_second_end_to_end_import(tmp_path):
     dev_batch = train_rt.prepare_device_batch(batch, voxel_cfg, grid, pcr, vs)
     out = model.apply(variables, dev_batch, training=False)
     assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+# ---------------------------------------------------------------------------
+# 4. PointPillar / CenterPoint family imports (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+def _rand_bn(rng, co):
+    return {
+        'weight': torch.tensor(rng.randn(co).astype(np.float32) * 0.05),
+        'bias': torch.tensor(rng.randn(co).astype(np.float32) * 0.05),
+        'running_mean': torch.tensor(
+            rng.randn(co).astype(np.float32) * 0.05),
+        'running_var': torch.tensor(
+            np.abs(rng.randn(co)).astype(np.float32) + 0.5),
+    }
+
+
+def _fab_backbone2d_and_head(params, sd, rng):
+    def t(x):
+        return torch.tensor((rng.randn(*x) * 0.05).astype(np.float32))
+
+    for b, blk in enumerate(sorted(k for k in params['backbone_2d']
+                                   if k.startswith('_ConvBlock'))):
+        node = params['backbone_2d'][blk]
+        idx = 1
+        for cname in sorted(k for k in node if k.startswith('Conv_')):
+            kh, kw, ci, co = node[cname]['kernel'].shape
+            sd[f'backbone_2d.blocks.{b}.{idx}.weight'] = t((co, ci, kh, kw))
+            for bk, bv in _rand_bn(rng, co).items():
+                sd[f'backbone_2d.blocks.{b}.{idx + 1}.{bk}'] = bv
+            idx += 3
+    for b, blk in enumerate(sorted(k for k in params['backbone_2d']
+                                   if k.startswith('_DeBlock'))):
+        node = params['backbone_2d'][blk]
+        kh, kw, ci, co = node['ConvTranspose_0']['kernel'].shape
+        sd[f'backbone_2d.deblocks.{b}.0.weight'] = t((ci, co, kh, kw))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'backbone_2d.deblocks.{b}.1.{bk}'] = bv
+    if 'dense_head' in params:
+        for name in ('conv_cls', 'conv_box', 'conv_dir_cls'):
+            if name not in params['dense_head']:
+                continue
+            kh, kw, ci, co = params['dense_head'][name]['kernel'].shape
+            sd[f'dense_head.{name}.weight'] = t((co, ci, kh, kw))
+            sd[f'dense_head.{name}.bias'] = t((co,))
+
+
+@pytest.mark.slow
+def test_pointpillar_end_to_end_import(tmp_path):
+    """PillarVFE PFN + BEV backbone + anchor head import (reference
+    name-generic loader, detector3d_template.py:455-536)."""
+    import jax
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pointpillar_model import MODEL_CFG as PP_CFG, make_batch, \
+        FakeDataset
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+
+    model = build_detector(PP_CFG, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, training=True)
+    params = jax.tree.map(np.asarray, variables['params'])
+    stats = jax.tree.map(np.asarray, variables['batch_stats'])
+
+    rng = np.random.RandomState(11)
+    sd = {}
+    # PFN layers
+    for i, pl in enumerate(sorted(k for k in params['vfe']
+                                  if k.startswith('PFNLayer'))):
+        ci, co = params['vfe'][pl]['Dense_0']['kernel'].shape
+        sd[f'vfe.pfn_layers.{i}.linear.weight'] = torch.tensor(
+            (rng.randn(co, ci) * 0.05).astype(np.float32))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'vfe.pfn_layers.{i}.norm.{bk}'] = bv
+    _fab_backbone2d_and_head(params, sd, rng)
+    path = tmp_path / 'pp_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 80}, str(path))
+
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert not report['mismatched'], report['mismatched']
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    out, _ = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
+                         training=False, mutable=[])
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+def test_fold_bn_into_conv2d_matches_torch():
+    """The CenterHead branch fold (conv(bias=False)+BN → biased conv) is
+    inference-exact vs torch eval-mode Sequential."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    ci, co = 6, 5
+    x = rng.randn(2, 9, 9, ci).astype(np.float32)
+    w = rng.randn(co, ci, 3, 3).astype(np.float32)
+    bn = _rand_bn(rng, co)
+
+    conv = torch.nn.Conv2d(ci, co, 3, padding=1, bias=False)
+    conv.weight.data = torch.tensor(w)
+    norm = torch.nn.BatchNorm2d(co, eps=1e-3)
+    norm.weight.data = bn['weight']
+    norm.bias.data = bn['bias']
+    norm.running_mean.data = bn['running_mean']
+    norm.running_var.data = bn['running_var']
+    norm.eval()
+    ref = norm(conv(torch.tensor(x.transpose(0, 3, 1, 2))))
+    ref = ref.detach().numpy().transpose(0, 2, 3, 1)
+
+    w_f, b_f = tc._fold_bn_into_conv2d(
+        w, {k: v.numpy() for k, v in bn.items()})
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w_f), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b_f
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_centerpoint_end_to_end_import(tmp_path):
+    """CenterHead import: shared conv + BN direct, branch conv+BN folded,
+    final convs direct (reference center_head.py:73-88 naming)."""
+    import copy
+    import jax
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pointpillar_model import MODEL_CFG as PP_CFG, make_batch, \
+        FakeDataset
+    from crb_active_3ddet_tpu.config import CfgNode
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+
+    cfg = copy.deepcopy(PP_CFG)
+    cfg['NAME'] = 'CenterPoint'
+    cfg['DENSE_HEAD'] = CfgNode({
+        'NAME': 'CenterHead', 'CLASS_AGNOSTIC': False,
+        'CLASS_NAMES_EACH_HEAD': [['Car']],
+        'SHARED_CONV_CHANNEL': 16, 'USE_BIAS_BEFORE_NORM': True,
+        'NUM_HM_CONV': 2,
+        'SEPARATE_HEAD_CFG': {
+            'HEAD_ORDER': ['center', 'center_z', 'dim', 'rot'],
+            'HEAD_DICT': {'center': {'out_channels': 2, 'num_conv': 2},
+                          'center_z': {'out_channels': 1, 'num_conv': 2},
+                          'dim': {'out_channels': 3, 'num_conv': 2},
+                          'rot': {'out_channels': 2, 'num_conv': 2}}},
+        'TARGET_ASSIGNER_CONFIG': {
+            'FEATURE_MAP_STRIDE': 2, 'NUM_MAX_OBJS': 64,
+            'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 2.0,
+            'code_weights': [1.0] * 8}},
+        'POST_PROCESSING': {'SCORE_THRESH': 0.1, 'POST_CENTER_LIMIT_RANGE':
+                            [-80, -80, -10, 80, 80, 10],
+                            'MAX_OBJ_PER_SAMPLE': 64},
+    })
+    cfg['POST_PROCESSING'] = CfgNode({
+        'RECALL_THRESH_LIST': [0.3, 0.5, 0.7], 'SCORE_THRESH': 0.1,
+        'OUTPUT_RAW_SCORE': False, 'EVAL_METRIC': 'kitti',
+        'MAX_OBJ_PER_SAMPLE': 64})
+
+    model = build_detector(cfg, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, training=True)
+    params = jax.tree.map(np.asarray, variables['params'])
+    stats = jax.tree.map(np.asarray, variables['batch_stats'])
+
+    rng = np.random.RandomState(13)
+    sd = {}
+    for i, pl in enumerate(sorted(k for k in params['vfe']
+                                  if k.startswith('PFNLayer'))):
+        ci, co = params['vfe'][pl]['Dense_0']['kernel'].shape
+        sd[f'vfe.pfn_layers.{i}.linear.weight'] = torch.tensor(
+            (rng.randn(co, ci) * 0.05).astype(np.float32))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'vfe.pfn_layers.{i}.norm.{bk}'] = bv
+    _fab_backbone2d_and_head(params, sd, rng)
+    # center head: shared conv + BN, then per-branch nested sequentials
+    kh, kw, ci, co = params['dense_head']['Conv_0']['kernel'].shape
+    sd['dense_head.shared_conv.0.weight'] = torch.tensor(
+        (rng.randn(co, ci, kh, kw) * 0.05).astype(np.float32))
+    for bk, bv in _rand_bn(rng, co).items():
+        sd[f'dense_head.shared_conv.1.{bk}'] = bv
+    for br in tc._CENTER_BRANCHES:
+        t = f'dense_head.heads_list.0.{br}'
+        kh, kw, ci, co = params['dense_head'][f'{br}_conv']['kernel'].shape
+        sd[f'{t}.0.0.weight'] = torch.tensor(
+            (rng.randn(co, ci, kh, kw) * 0.05).astype(np.float32))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'{t}.0.1.{bk}'] = bv
+        kh, kw, ci, co = params['dense_head'][f'{br}_out']['kernel'].shape
+        sd[f'{t}.1.weight'] = torch.tensor(
+            (rng.randn(co, ci, kh, kw) * 0.05).astype(np.float32))
+        sd[f'{t}.1.bias'] = torch.tensor(
+            (rng.randn(co) * 0.05).astype(np.float32))
+    path = tmp_path / 'cp_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 36}, str(path))
+
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert not report['mismatched'], report['mismatched']
+    # branch convs are FOLDED targets: their BN stats do not exist in our
+    # tree, so unmatched_target must be empty all the same
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    out, _ = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
+                         training=False, mutable=[])
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()

@@ -1,11 +1,16 @@
 """Benchmark one CRB acquisition round on the current chip.
 
 Times the three CRB stages over a synthetic pool shaped like the KITTI AL
-workload (BASELINE.md: pool ~3600, SELECT_NUMS=100, K1=5, K2=3 → K1·N=500
-stage-2 grads, K2·N=300 GPDB candidates).  Pool size / select count are
-scaled by --scale for tractable runs on the tunneled dev chip; per-frame
-stage costs are linear in pool size so the full-KITTI wall-clock is the
-printed per-frame numbers × the real counts.
+workload.  Defaults are the HONEST shape (BASELINE.md: pool ~3600,
+SELECT_NUMS=100, K1=5, K2=3 → K1·N=500 stage-2 grads, K2·N=300 GPDB
+candidates) — pass --pool/--select to scale down for tractable smoke runs;
+per-frame stage costs are linear in pool size.
+
+The model is briefly pretrained (12 steps) before the timed rounds: the AL
+loop always queries with a pretrained model (reference
+train_active_utils.py:162-205 pretrains 40 epochs before the first query),
+and an untrained net keeps every anchor alive, driving the NMS fixpoint to
+its worst case — timing it would overstate the acquisition cost.
 
 Prints one JSON line:
   {"metric": "crb_round_sec", "value": ..., "unit": "s", "vs_baseline": ...}
@@ -23,10 +28,15 @@ sys.path.insert(0, str(REPO_ROOT))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--pool', type=int, default=256)
-    ap.add_argument('--select', type=int, default=10)
+    ap.add_argument('--pool', type=int, default=3584)
+    ap.add_argument('--select', type=int, default=100)
+    ap.add_argument('--batch', type=int, default=16,
+                    help='pool-scan batch size (also the stage-2 grad chunk)')
     ap.add_argument('--model', default='pv_rcnn',
                     choices=['pv_rcnn', 'second'])
+    ap.add_argument('--pretrain-steps', type=int, default=12)
+    ap.add_argument('--skip-cold', action='store_true',
+                    help='run one round only (skip the warm re-run)')
     args = ap.parse_args()
 
     from crb_active_3ddet_tpu.utils.common import enable_compilation_cache
@@ -52,7 +62,7 @@ def main():
         'TOTAL_BUDGET_NUMS': args.select,
         'ACTIVE_CONFIG': {'K1': 5, 'K2': 3, 'BANDWDITH': 5,
                           'CLUSTERING': 'kmeans++'}})
-    batch_size = 8
+    batch_size = args.batch
     (lab_set, unlab_set, lab_loader, unlab_loader, _, _) = \
         build_active_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, workers=0,
@@ -61,6 +71,22 @@ def main():
                            dataset=lab_set)
     optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1)
     state = train_rt.init_train_state(model, optimizer, lab_set, batch_size)
+
+    # brief pretrain (see module docstring)
+    train_step = train_rt.make_train_step(model, optimizer, lab_set)
+    rng = jax.random.PRNGKey(0)
+    it = iter(lab_loader)
+    t0 = time.time()
+    for _ in range(args.pretrain_steps):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(lab_loader)
+            b = next(it)
+        rng, sub = jax.random.split(rng)
+        state, _m = train_step(state, train_rt.host_to_device_batch(b), sub)
+    jax.block_until_ready(state.params)
+    pretrain_sec = time.time() - t0
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     import tempfile
@@ -71,24 +97,27 @@ def main():
         # cold round (includes jit compiles), then a warm round — the warm
         # number is the steady-state acquisition cost the AL loop pays
         t0 = time.time()
-        strat.query(cur_epoch=0)
+        selected = strat.query(cur_epoch=0)
         cold = time.time() - t0
-        t0 = time.time()
-        selected = strat.query(cur_epoch=1)
-        wall = time.time() - t0
+        cold_stages = dict(getattr(strat, 'stage_times', {}))
+        if args.skip_cold:
+            wall, warm_stages = cold, cold_stages
+        else:
+            t0 = time.time()
+            selected = strat.query(cur_epoch=1)
+            wall = time.time() - t0
+            warm_stages = dict(getattr(strat, 'stage_times', {}))
     pool = len(unlab_set)
     per_frame_ms = wall / pool * 1e3
-    full_kitti_est = per_frame_ms / 1e3 * 3600 * (
-        1.0)  # stage-1 dominates and is linear in pool
     out = {
         'metric': 'crb_round_sec', 'value': round(wall, 2), 'unit': 's',
         'vs_baseline': round(60.0 / wall, 3),
-        'pool': pool, 'select': args.select,
+        'pool': pool, 'select': args.select, 'batch': batch_size,
         'per_frame_ms': round(per_frame_ms, 2),
         'cold_round_sec': round(cold, 2),
+        'pretrain_sec': round(pretrain_sec, 1),
         'selected': len(selected),
-        'stages': {k: round(v, 2)
-                   for k, v in getattr(strat, 'stage_times', {}).items()},
+        'stages': {k: round(v, 2) for k, v in warm_stages.items()},
     }
     print(json.dumps(out))
 
