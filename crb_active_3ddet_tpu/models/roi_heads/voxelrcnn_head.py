@@ -7,10 +7,14 @@ small pointnet ([rel-xyz | features] MLP + pool) aggregates them; the
 multi-scale concat feeds shared/cls/reg FC towers.
 
 TPU deltas: voxel query probes a subsampled window lattice
-(ops/voxel_query.py); the aggregation MLP runs on [rel_xyz, features]
-like our other grouping modules (the reference's NeighborVoxelSAModuleMSG
-encodes positions in a separate branch before summation — same
-information, one fused MLP here).
+(ops/voxel_query.py); the aggregation MLP mirrors the reference's
+NeighborVoxelSAModuleMSG split (voxel_pool_modules.py:35-48): ``mlp_in``
+transforms the voxel features BEFORE grouping (one (V, C)→mid GEMM on the
+voxel set instead of an MLP over every grouped sample), ``mlp_pos`` encodes
+the grouped relative positions, and ``mlp_out`` runs AFTER the pool on
+(R·G³, mid) rows — fewer FLOPs than a pre-pool MLP by ~NSAMPLE× on the
+second layer, and weight-compatible with OpenPCDet zoo checkpoints
+(utils/torch_ckpt.py maps mlps_in/mlps_pos/mlps_out by name).
 """
 
 from __future__ import annotations
@@ -72,8 +76,22 @@ class VoxelRCNNHead(nn.Module):
                 get_voxel_centers, downsample_times=stride, voxel_size=vs,
                 point_cloud_range=jnp.asarray(self.point_cloud_range)))(
                 ms['coords'])
-            for radius, nsample, mlp in zip(lc.POOL_RADIUS, lc.NSAMPLE,
-                                            lc.MLPS):
+            for k, (radius, nsample, mlp) in enumerate(
+                    zip(lc.POOL_RADIUS, lc.NSAMPLE, lc.MLPS)):
+                # config MLPS entries are [mid, out] (the reference prepends
+                # c_in at build time, voxelrcnn_head.py:20-22)
+                mid, out_ch = int(mlp[0]), int(mlp[-1])
+                nm = f'pool_{src}_{k}'
+
+                def bn(x, name):
+                    return nn.BatchNorm(use_running_average=not training,
+                                        momentum=0.99, epsilon=1e-3,
+                                        name=name)(x)
+
+                # mlps_in: transform voxel features before grouping
+                feat_in = bn(nn.Dense(mid, use_bias=False,
+                                      name=f'{nm}_in')(ms['features']),
+                             f'{nm}_in_bn')                # (B, V, mid)
                 qr = tuple(int(x) for x in lc.QUERY_RANGES[0])
                 idx, cnt = jax.vmap(partial(
                     voxel_query, grid=ms['grid'], query_range=qr,
@@ -82,21 +100,26 @@ class VoxelRCNNHead(nn.Module):
                 grouped_xyz = jax.vmap(
                     lambda c, i: c[i])(centers, idx)       # (B, M, S, 3)
                 grouped_feat = jax.vmap(lambda f, i: f[i])(
-                    ms['features'], idx)                   # (B, M, S, C)
+                    feat_in, idx)                          # (B, M, S, mid)
                 rel = grouped_xyz - grid_pts[:, :, None, :]
-                x = jnp.concatenate([rel, grouped_feat], axis=-1)
                 ok = cnt > 0
-                x = jnp.where(ok[..., None, None], x, 0.0)
-                for ch in mlp:
-                    x = nn.Dense(ch, use_bias=False)(x)
-                    x = nn.BatchNorm(use_running_average=not training,
-                                     momentum=0.99, epsilon=1e-3)(x)
-                    x = nn.relu(x)
+                rel = jnp.where(ok[..., None, None], rel, 0.0)
+                grouped_feat = jnp.where(ok[..., None, None],
+                                         grouped_feat, 0.0)
+                # mlps_pos on grouped relative positions, summed with the
+                # grouped features (voxel_pool_modules.py:109-111)
+                pos = bn(nn.Dense(mid, use_bias=False,
+                                  name=f'{nm}_pos')(rel), f'{nm}_pos_bn')
+                x = nn.relu(grouped_feat + pos)
                 if lc.get('POOL_METHOD', 'max_pool') == 'avg_pool':
                     pooled = x.sum(axis=2) / jnp.clip(
                         cnt[..., None].astype(x.dtype), 1.0)
                 else:
                     pooled = x.max(axis=2)
+                # mlps_out AFTER the pool (voxel_pool_modules.py:124)
+                pooled = nn.relu(bn(nn.Dense(out_ch, use_bias=False,
+                                             name=f'{nm}_out')(pooled),
+                                    f'{nm}_out_bn'))
                 pooled = jnp.where(ok[..., None], pooled, 0.0)
                 pooled_all.append(pooled)
 

@@ -248,6 +248,25 @@ def _t_spconv(w, c_in, c_out):
     return w.reshape(k, c_in, c_out)
 
 
+def _t_spconv_dense(w, c_in, c_out):
+    """spconv kernel (any shipped layout) → dense lax-conv layout
+    (k0, k1, k2, c_in, c_out), spatial axes in grid-dim order (the PartA2
+    RoI-aware pooled grid is (x, y, z) in both impls — roiaware_pool3d
+    cell order matches the reference kernel's grid order).  Same
+    orientation detection as ``_t_spconv``; used for the PartA2 head's
+    conv_part/conv_rpn which run as DenseMaskedConv3d here."""
+    w = np.asarray(w)
+    assert w.ndim == 5, f'spconv kernels are 5D, got {w.shape}'
+    if w.shape[-2] == c_in and w.shape[-1] == c_out:
+        return w
+    if w.shape[0] == c_out and w.shape[-1] == c_in:
+        return np.transpose(w, (1, 2, 3, 4, 0))
+    if w.shape[-2] == c_out and w.shape[-1] == c_in:
+        return np.transpose(w, (0, 1, 2, 4, 3))
+    raise ValueError(f'cannot orient spconv kernel {w.shape} '
+                     f'for c_in={c_in}, c_out={c_out}')
+
+
 def group_torch_sequential(sd, prefix):
     """Split the keys under a torch ``nn.Sequential`` prefix into ordered
     (convs, bns) lists, immune to ReLU/Dropout index gaps.
@@ -507,16 +526,31 @@ def _map_fc_stack(sd, torch_prefix, flax_prefix, fc_name, bn_name, out_name,
 
 
 def _map_point_head(sd, targets, out_p, out_s):
-    # PointHeadSimple cls_layers → Dense_i / BatchNorm_i / final biased Dense
-    convs, bns = group_torch_sequential(sd, 'point_head.cls_layers')
-    for j, bn in enumerate(bns):
-        _bn_into(out_p, out_s, ('point_head',), f'BatchNorm_{j}', bn)
-    for j, w in enumerate(convs):
-        if isinstance(w, tuple):
-            out_p[('point_head', f'Dense_{j}', 'kernel')] = _t_linearish(w[0])
-            out_p[('point_head', f'Dense_{j}', 'bias')] = np.asarray(w[1])
-        else:
-            out_p[('point_head', f'Dense_{j}', 'kernel')] = _t_linearish(w)
+    """Point-head fc stacks → flat Dense_i / BatchNorm_i counters.
+
+    All three reference point heads build their towers in a fixed attribute
+    order matching our flax call order (point_head_template.make_fc_layers):
+    PointHeadSimple = cls_layers; PointHeadBox = cls_layers + box_layers
+    (point_head_box.py:16-31); PointIntraPartOffsetHead = cls_layers +
+    part_reg_layers [+ box_layers] (point_intra_part_head.py:16-37).  The
+    Dense/BatchNorm counters run globally across the stacks, mirroring flax
+    auto-naming over sequential tower calls."""
+    di = bi = 0
+    for stack in ('cls_layers', 'part_reg_layers', 'box_layers'):
+        convs, bns = group_torch_sequential(sd, f'point_head.{stack}')
+        for bn in bns:
+            _bn_into(out_p, out_s, ('point_head',), f'BatchNorm_{bi}', bn)
+            bi += 1
+        for w in convs:
+            if isinstance(w, tuple):
+                out_p[('point_head', f'Dense_{di}', 'kernel')] = \
+                    _t_linearish(w[0])
+                out_p[('point_head', f'Dense_{di}', 'bias')] = \
+                    np.asarray(w[1])
+            else:
+                out_p[('point_head', f'Dense_{di}', 'kernel')] = \
+                    _t_linearish(w)
+            di += 1
 
 
 def _map_pfe(sd, targets, out_p, out_s):
@@ -545,15 +579,203 @@ def _map_roi_head(sd, targets, out_p, out_s):
                    ('roi_head', 'roi_grid_pool'), out_p, out_s)
     _map_fc_stack(sd, 'roi_head.shared_fc_layer', ('roi_head',),
                   'shared_fc', 'shared_bn', None, targets, out_p, out_s)
-    _map_fc_stack(sd, 'roi_head.cls_layers', ('roi_head',),
-                  'cls_fc', 'cls_bn', 'cls_out', targets, out_p, out_s)
-    _map_fc_stack(sd, 'roi_head.reg_layers', ('roi_head',),
-                  'reg_fc', 'reg_bn', 'reg_out', targets, out_p, out_s)
+    # cls/reg tower naming differs per head family (PVRCNN: cls_fc_i;
+    # PartA2/PointRCNN: cls_i) — write both schemes, the absent one is
+    # dropped (same source tensors either way)
+    for fc, bn in (('cls_fc', 'cls_bn'), ('cls', 'cls_bn')):
+        _map_fc_stack(sd, 'roi_head.cls_layers', ('roi_head',),
+                      fc, bn, 'cls_out', targets, out_p, out_s)
+    for fc, bn in (('reg_fc', 'reg_bn'), ('reg', 'reg_bn')):
+        _map_fc_stack(sd, 'roi_head.reg_layers', ('roi_head',),
+                      fc, bn, 'reg_out', targets, out_p, out_s)
+
+
+# UNetV2 decoder (spconv_unet.py:112-131): torch attr → our flax layer in
+# instantiation order (spconv_backbone.py UNetV2: ur_block(level4..1) creates
+# SparseBasicBlock_k = conv_up_t{4-k}, SparseConvLayer_{12+k} = conv_up_m,
+# SparseInverseConvLayer_k = inv_conv{4-k}; the last ur_block's final conv is
+# the subm conv5 = SparseConvLayer_16)
+_UNET_DECODER = [
+    ('conv_up_m4', 'SparseConvLayer_12'),
+    ('conv_up_m3', 'SparseConvLayer_13'),
+    ('conv_up_m2', 'SparseConvLayer_14'),
+    ('conv_up_m1', 'SparseConvLayer_15'),
+    ('conv5', 'SparseConvLayer_16'),
+    ('inv_conv4', 'SparseInverseConvLayer_0'),
+    ('inv_conv3', 'SparseInverseConvLayer_1'),
+    ('inv_conv2', 'SparseInverseConvLayer_2'),
+]
+
+
+def _map_unet_decoder(sd, targets, out_p, out_s):
+    if ('backbone_3d', 'SparseInverseConvLayer_0', 'kernel') not in targets:
+        return
+    for torch_sub, layer in _UNET_DECODER:
+        kpath = ('backbone_3d', layer, 'kernel')
+        if kpath not in targets:
+            continue
+        convs, bns = group_torch_sequential(sd, f'backbone_3d.{torch_sub}')
+        if not convs:
+            continue
+        _, c_in, c_out = targets[kpath].shape
+        w = convs[0][0] if isinstance(convs[0], tuple) else convs[0]
+        out_p[kpath] = _t_spconv(w, c_in, c_out)
+        if bns:
+            _bn_into(out_p, out_s, ('backbone_3d', layer),
+                     'MaskedBatchNorm_0', bns[0])
+    # SparseBasicBlock_k ← conv_up_t{4-k} (attrs conv1/bn1/conv2/bn2,
+    # spconv_unet.py:11-25)
+    for k in range(4):
+        t = f'backbone_3d.conv_up_t{4 - k}'
+        for j in (1, 2):
+            w = sd.get(f'{t}.conv{j}.weight')
+            if w is None:
+                continue
+            kpath = ('backbone_3d', f'SparseBasicBlock_{k}',
+                     f'SparseConvLayer_{j - 1}', 'kernel')
+            if kpath not in targets:
+                continue
+            _, c_in, c_out = targets[kpath].shape
+            out_p[kpath] = _t_spconv(w, c_in, c_out)
+            if f'{t}.bn{j}.running_mean' in sd:
+                _bn_into(out_p, out_s, kpath[:-1], 'MaskedBatchNorm_0', {
+                    'weight': sd[f'{t}.bn{j}.weight'],
+                    'bias': sd[f'{t}.bn{j}.bias'],
+                    'running_mean': sd[f'{t}.bn{j}.running_mean'],
+                    'running_var': sd[f'{t}.bn{j}.running_var']})
+
+
+def _map_parta2_roi_head(sd, targets, out_p, out_s):
+    """PartA2FCHead conv_part/conv_rpn SparseSequentials (partA2_head.py:
+    19-27) → our DenseMaskedConv3d branches (dense (3,3,3,ci,co) kernels
+    over the same (x,y,z) RoI-aware pooled grid)."""
+    for branch in ('conv_part', 'conv_rpn'):
+        if ('roi_head', f'{branch}_0', 'kernel') not in targets:
+            continue
+        convs, bns = group_torch_sequential(sd, f'roi_head.{branch}')
+        for j, w in enumerate(convs):
+            kpath = ('roi_head', f'{branch}_{j}', 'kernel')
+            if kpath not in targets:
+                continue
+            shape = targets[kpath].shape            # (3, 3, 3, ci, co)
+            w = w[0] if isinstance(w, tuple) else w
+            out_p[kpath] = _t_spconv_dense(w, shape[-2], shape[-1])
+            if j < len(bns):
+                _bn_into(out_p, out_s, kpath[:-1], 'MaskedBatchNorm_0',
+                         bns[j])
+
+
+def _map_voxelrcnn_roi_head(sd, targets, out_p, out_s):
+    """VoxelRCNNHead: roi_grid_pool_layers.{li}.mlps_{in,pos,out}.{k}
+    (voxel_pool_modules.py:24-48) → our pool_{src}_{k}_{in,pos,out}(+_bn);
+    shared/cls/reg towers + separate biased pred layers
+    (voxelrcnn_head.py:51-79)."""
+    # our pool-layer names sorted lexicographically = FEATURES_SOURCE order
+    # (x_conv indices ascend in every shipped config)
+    pool_names = sorted({p[1][:-3] for p in targets
+                         if len(p) == 3 and p[0] == 'roi_head'
+                         and p[1].startswith('pool_')
+                         and p[1].endswith('_in') and p[2] == 'kernel'})
+    srcs = []
+    for nm in pool_names:
+        src = nm[len('pool_'):].rsplit('_', 1)[0]
+        if src not in srcs:
+            srcs.append(src)
+    for li, src in enumerate(srcs):
+        ks = [nm for nm in pool_names
+              if nm.startswith(f'pool_{src}_')]
+        for k, nm in enumerate(sorted(ks)):
+            t = f'roi_head.roi_grid_pool_layers.{li}'
+            for part in ('in', 'pos', 'out'):
+                convs, bns = group_torch_sequential(
+                    sd, f'{t}.mlps_{part}.{k}')
+                if not convs:
+                    continue
+                w = convs[0][0] if isinstance(convs[0], tuple) else convs[0]
+                out_p[('roi_head', f'{nm}_{part}', 'kernel')] = \
+                    _t_linearish(w)
+                if bns:
+                    _bn_into(out_p, out_s, ('roi_head',), f'{nm}_{part}_bn',
+                             bns[0])
+    _map_fc_stack(sd, 'roi_head.shared_fc_layer', ('roi_head',),
+                  'shared_fc', 'shared_fc_bn', None, targets, out_p, out_s)
+    _map_fc_stack(sd, 'roi_head.cls_fc_layers', ('roi_head',),
+                  'cls_fc', 'cls_fc_bn', None, targets, out_p, out_s)
+    _map_fc_stack(sd, 'roi_head.reg_fc_layers', ('roi_head',),
+                  'reg_fc', 'reg_fc_bn', None, targets, out_p, out_s)
+    for torch_name, ours in (('cls_pred_layer', 'cls_pred'),
+                             ('reg_pred_layer', 'reg_pred')):
+        w = sd.get(f'roi_head.{torch_name}.weight')
+        if w is not None:
+            out_p[('roi_head', ours, 'kernel')] = _t_linearish(w)
+            out_p[('roi_head', ours, 'bias')] = np.asarray(
+                sd[f'roi_head.{torch_name}.bias'])
+
+
+def _map_pointnet2_backbone(sd, targets, out_p, out_s):
+    """PointNet2MSG (pointnet2_backbone.py:9-96): SA_modules.{k} → sa_{k};
+    FP_modules iterate REVERSED in both forwards (reference :87-91, ours
+    runs the decoder loop from the deepest level), so our flat Dense/BN
+    counters start at the LAST registered FP module."""
+    for k in range(8):
+        if f'backbone_3d.SA_modules.{k}.mlps.0.0.weight' not in sd:
+            break
+        _map_sa_module(sd, f'backbone_3d.SA_modules.{k}',
+                       ('backbone_3d', f'sa_{k}'), out_p, out_s)
+    n_fp = 0
+    while f'backbone_3d.FP_modules.{n_fp}.mlp.0.weight' in sd:
+        n_fp += 1
+    di = 0
+    for i in reversed(range(n_fp)):
+        convs, bns = group_torch_sequential(
+            sd, f'backbone_3d.FP_modules.{i}.mlp')
+        for w, bn in zip(convs, bns):
+            w = w[0] if isinstance(w, tuple) else w
+            out_p[('backbone_3d', f'Dense_{di}', 'kernel')] = _t_linearish(w)
+            _bn_into(out_p, out_s, ('backbone_3d',), f'BatchNorm_{di}', bn)
+            di += 1
+
+
+def _map_pointrcnn_roi_head(sd, targets, out_p, out_s):
+    """PointRCNNHead (pointrcnn_head.py:13-59): xyz_up_layer /
+    merge_down_layer 1×1 conv stacks, SA_modules (last one is the group-all
+    module with flat sa{k}_d{li} names here), cls/reg towers."""
+    if ('roi_head', 'xyz_up_0', 'kernel') not in targets:
+        return
+    for torch_name, ours in (('xyz_up_layer', 'xyz_up'),
+                             ('merge_down_layer', 'merge_down')):
+        convs, bns = group_torch_sequential(sd, f'roi_head.{torch_name}')
+        for j, w in enumerate(convs):
+            if isinstance(w, tuple):
+                out_p[('roi_head', f'{ours}_{j}', 'kernel')] = \
+                    _t_linearish(w[0])
+                out_p[('roi_head', f'{ours}_{j}', 'bias')] = np.asarray(w[1])
+            else:
+                out_p[('roi_head', f'{ours}_{j}', 'kernel')] = \
+                    _t_linearish(w)
+        for j, bn in enumerate(bns):
+            _bn_into(out_p, out_s, ('roi_head',), f'{ours}_bn_{j}', bn)
+    for k in range(8):
+        if f'roi_head.SA_modules.{k}.mlps.0.0.weight' not in sd:
+            break
+        if ('roi_head', f'sa_{k}') in {p[:2] for p in targets}:
+            _map_sa_module(sd, f'roi_head.SA_modules.{k}',
+                           ('roi_head', f'sa_{k}'), out_p, out_s)
+        else:
+            # group-all module: flat sa{k}_d{li}/sa{k}_bn{li} names
+            convs, bns = group_torch_sequential(
+                sd, f'roi_head.SA_modules.{k}.mlps.0')
+            for li, (w, bn) in enumerate(zip(convs, bns)):
+                w = w[0] if isinstance(w, tuple) else w
+                out_p[('roi_head', f'sa{k}_d{li}', 'kernel')] = \
+                    _t_linearish(w)
+                _bn_into(out_p, out_s, ('roi_head',), f'sa{k}_bn{li}', bn)
 
 
 def map_openpcdet_state(sd, params_tree, stats_tree):
     """Map a flat OpenPCDet ``model_state`` dict onto copies of our Flax
-    ``params``/``batch_stats`` trees (SECOND & PV-RCNN families).
+    ``params``/``batch_stats`` trees (SECOND, PointPillar, CenterPoint,
+    PV-RCNN, PartA2, PointRCNN, VoxelRCNN families).
 
     Returns ``(new_params, new_stats, report)``; unmatched target leaves
     keep their existing values (the reference's ``strict=False`` behavior,
@@ -570,22 +792,31 @@ def map_openpcdet_state(sd, params_tree, stats_tree):
     out_p, out_s = {}, {}
     _map_vfe(sd, targets, out_p, out_s)
     _map_backbone3d(sd, targets, out_p, out_s)
+    _map_unet_decoder(sd, targets, out_p, out_s)
+    _map_pointnet2_backbone(sd, targets, out_p, out_s)
     _map_backbone2d(sd, targets, out_p, out_s)
     _map_dense_head(sd, targets, out_p, out_s)
     _map_center_head(sd, targets, out_p, out_s)
     _map_pfe(sd, targets, out_p, out_s)
     _map_point_head(sd, targets, out_p, out_s)
     _map_roi_head(sd, targets, out_p, out_s)
+    _map_parta2_roi_head(sd, targets, out_p, out_s)
+    _map_voxelrcnn_roi_head(sd, targets, out_p, out_s)
+    _map_pointrcnn_roi_head(sd, targets, out_p, out_s)
 
     report = {'mapped': [], 'mismatched': [], 'unmatched_target': [],
-              'unused_source': []}
+              'unused_source': [], 'dropped_names': []}
     used_targets = set()
     for path, val in list(out_p.items()) + list(out_s.items()):
         tgt = p_flat if path in p_flat else (
             s_flat if path in s_flat else None)
         if tgt is None:
-            report['mismatched'].append(
-                ('.'.join(path), tuple(val.shape), None))
+            # mappers write speculatively (several detector families share
+            # torch prefixes but use different flax names); a write whose
+            # target leaf doesn't exist is dropped like the reference's
+            # strict=False load (detector3d_template.py:487-491).  A wrong
+            # name map still surfaces as unmatched_target.
+            report['dropped_names'].append('.'.join(path))
             continue
         if tuple(tgt[path].shape) != tuple(val.shape):
             report['mismatched'].append(

@@ -136,3 +136,71 @@ def test_caddn_train_and_eval():
     preds, rec = eval_step(variables, hb)
     assert preds['pred_boxes'].shape[-1] == 7
     assert np.isfinite(np.asarray(preds['pred_scores'])).all()
+
+
+@pytest.mark.slow
+@pytest.mark.xslow
+def test_caddn_depth_bin_accuracy():
+    """Camera-path quality gate (VERDICT r4 #7): after a short train run the
+    DDN's depth-bin argmax must materially beat chance on the depth maps.
+
+    Chance = ~1/21 (20 LID bins + out-of-range) ≈ 5%; an untrained DDN
+    measures near that, and a DDN whose frustum/loss plumbing is silently
+    wrong cannot learn the depth→bin mapping at all.  Threshold calibrated
+    round 5 (see STATUS.md): trained accuracy on the training scenes'
+    valid (in-range) pixels passes 0.35 comfortably at 48 steps."""
+    from crb_active_3ddet_tpu.config import load_config
+    from crb_active_3ddet_tpu.datasets import build_dataloader
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+    from crb_active_3ddet_tpu.models.backbones_3d.image_vfe import bin_depths
+    from crb_active_3ddet_tpu.runtime import train as train_rt
+    from crb_active_3ddet_tpu.runtime.optimization import build_optimizer
+
+    cfg = load_config(REPO / 'tools/cfgs/synthetic_models/caddn_synth.yaml')
+    train_set, train_loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True,
+        workers=0)
+    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                           dataset=train_set)
+    n_steps = 48
+    optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=n_steps)
+    state = train_rt.init_train_state(model, optimizer, train_set,
+                                      batch_size=2)
+    step = train_rt.make_train_step(model, optimizer, train_set)
+    rng = jax.random.PRNGKey(0)
+    it = iter(train_loader)
+    for _ in range(n_steps):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(train_loader)
+            b = next(it)
+        rng, sub = jax.random.split(rng)
+        state, _m = step(state, train_rt.host_to_device_batch(b), sub)
+
+    disc = cfg.MODEL.VFE.FFN.DISCRETIZE
+    num_bins = int(disc['num_bins'])
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    @jax.jit
+    def depth_preds(variables, batch):
+        out = model.apply(variables, batch, training=False)
+        return out['depth_logits']
+
+    correct = valid = 0
+    for b in train_loader:
+        batch = train_rt.host_to_device_batch(b)
+        logits = np.asarray(depth_preds(variables, batch))
+        target = np.asarray(bin_depths(
+            jnp.asarray(batch['depth_maps']), mode=disc['mode'],
+            depth_min=float(disc['depth_min']),
+            depth_max=float(disc['depth_max']),
+            num_bins=num_bins, target=True))
+        pred = logits.argmax(-1)
+        ok = target < num_bins          # in-range pixels only
+        correct += int((pred[ok] == target[ok]).sum())
+        valid += int(ok.sum())
+    acc = correct / max(valid, 1)
+    assert acc > 0.35, \
+        f'DDN depth-bin accuracy {acc:.3f} on {valid} px — camera path ' \
+        'is not learning depth (chance ~0.05)'

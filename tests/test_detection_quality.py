@@ -289,3 +289,78 @@ def test_crb_beats_random(tmp_path):
     assert crb_total >= rand_total + 3, \
         f'CRB {crb_total}/24 object frames vs random {rand_total}/24 — ' \
         'acquisition no longer concentrates the budget on object frames'
+
+
+# ---------------------------------------------------------------------------
+# Gate 3: the SPARSE stack must actually detect (VERDICT r4 #4) — a
+# silently-wrong rulebook/gather-GEMM (ops/sparse/rulebook.py, the
+# TPU-riskiest code in the repo) passes loss-descent and shard-parity tests
+# but cannot pass a trained-to-threshold AP gate.
+# ---------------------------------------------------------------------------
+
+SECOND_MODEL_CFG = CfgNode({
+    'NAME': 'SECONDNet',
+    'VFE': {'NAME': 'MeanVFE'},
+    'BACKBONE_3D': {'NAME': 'VoxelBackBone8x'},
+    'MAP_TO_BEV': {'NAME': 'HeightCompression', 'NUM_BEV_FEATURES': 256},
+    # upsample the stride-8 sparse output back to a stride-4 BEV map:
+    # 0.8 m anchor spacing at the 0.2 m voxel size below — the same
+    # anchor density gate 1's PointPillars sees (round-5 calibration: a
+    # stride-8 head detects — recall@0.3 31/32 — but plateaus at mAP@0.5
+    # ~0.45 because 1.6 m anchor spacing starves IoU-0.5 localization)
+    'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [2, 2],
+                    'LAYER_STRIDES': [1, 2], 'NUM_FILTERS': [32, 64],
+                    'UPSAMPLE_STRIDES': [2, 4],
+                    'NUM_UPSAMPLE_FILTERS': [32, 32]},
+    'DENSE_HEAD': {
+        'NAME': 'AnchorHeadSingle', 'CLASS_AGNOSTIC': False,
+        'USE_DIRECTION_CLASSIFIER': True, 'DIR_OFFSET': 0.78539,
+        'DIR_LIMIT_OFFSET': 0.0, 'NUM_DIR_BINS': 2,
+        'ANCHOR_GENERATOR_CONFIG': [
+            {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+             'anchor_rotations': [0, 1.57],
+             'anchor_bottom_heights': [-1.78], 'align_center': False,
+             'feature_map_stride': 4, 'matched_threshold': 0.6,
+             'unmatched_threshold': 0.45}],
+        'TARGET_ASSIGNER_CONFIG': {
+            'NAME': 'AxisAlignedTargetAssigner', 'POS_FRACTION': -1.0,
+            'SAMPLE_SIZE': 512, 'NORM_BY_NUM_EXAMPLES': False,
+            'MATCH_HEIGHT': False, 'BOX_CODER': 'ResidualCoder'},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+            'code_weights': [1.0] * 7}}},
+    'POST_PROCESSING': dict(MODEL_CFG.POST_PROCESSING),
+})
+
+
+def easy_second_data_cfg(n_scenes, seed=11):
+    """The gate-1 easy scenes voxelized at KITTI-like geometry ratios for
+    the sparse stack: 0.2x0.2x0.1 m voxels over a 25.6 m range mirror
+    KITTI's 0.05 m voxels over 70 m (the same 8x-downsampled 1.6 m BEV
+    cell the reference's SECOND head sees, kitti_dataset.yaml:64-70).
+    Voxel budget: scenes carry <=2.3k points, so 3072 slots are lossless."""
+    cfg = easy_data_cfg(n_scenes, seed=seed)
+    cfg.DATA_PROCESSOR[-1]['VOXEL_SIZE'] = [0.2, 0.2, 0.1]
+    cfg.DATA_PROCESSOR[-1]['MAX_POINTS_PER_VOXEL'] = 5
+    cfg.DATA_PROCESSOR[-1]['MAX_NUMBER_OF_VOXELS'] = {
+        'train': 3072, 'test': 3072}
+    return cfg
+
+
+def test_second_reaches_threshold_ap():
+    """Gate 3: voxelize → sort-join rulebooks → gather-GEMM sparse stack →
+    HeightCompression → BEV → head → NMS → AP must DETECT on unseen val
+    scenes (threshold calibrated round 5: healthy build reaches ~0.9 by
+    epoch 48 — see STATUS.md)."""
+    data_cfg = easy_second_data_cfg(32)
+    train_set, train_loader, _ = build_dataloader(
+        data_cfg, CLASS_NAMES, batch_size=4, training=True, workers=0,
+        seed=0)
+    val_cfg = easy_second_data_cfg(16, seed=31)
+    val_set, val_loader, _ = build_dataloader(
+        val_cfg, CLASS_NAMES, batch_size=4, training=False, workers=0)
+    ap_dict, recall = train_and_eval(train_set, train_loader, val_set,
+                                     val_loader, epochs=48,
+                                     model_cfg=SECOND_MODEL_CFG)
+    assert ap_dict['mAP'] > 0.60, \
+        f'sparse stack failed to learn: {ap_dict} recall={recall}'

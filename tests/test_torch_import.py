@@ -465,3 +465,346 @@ def test_centerpoint_end_to_end_import(tmp_path):
     out, _ = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
                          training=False, mutable=[])
     assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+# ---------------------------------------------------------------------------
+# 5. PartA2 / PointRCNN / VoxelRCNN family imports (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+def _t(rng, shape):
+    return torch.tensor((rng.randn(*shape) * 0.05).astype(np.float32))
+
+
+def _fab_fc_stack(sd, rng, prefix, node, fc_name, out_name):
+    """Inverse of tc._map_fc_stack: reference make_fc_layers layout
+    [Conv1d(bias=False), BN, ReLU]* + optional final biased Conv1d."""
+    idx = 0
+    i = 0
+    while f'{fc_name}_{i}' in node:
+        ci, co = node[f'{fc_name}_{i}']['kernel'].shape
+        sd[f'{prefix}.{idx}.weight'] = _t(rng, (co, ci))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'{prefix}.{idx + 1}.{bk}'] = bv
+        idx += 3
+        i += 1
+    if out_name and out_name in node:
+        ci, co = node[out_name]['kernel'].shape
+        sd[f'{prefix}.{idx}.weight'] = _t(rng, (co, ci))
+        sd[f'{prefix}.{idx}.bias'] = _t(rng, (co,))
+
+
+def _fab_sa(sd, rng, torch_prefix, node):
+    """Single-branch fabrication of an SA module: tc._map_sa_module flattens
+    Dense/BN counters across branches, so mlps.0 holding every layer maps
+    identically (shape-driven, no cross-layer chaining needed)."""
+    n = sum(1 for k in node if k.startswith('Dense_'))
+    idx = 0
+    for i in range(n):
+        ci, co = node[f'Dense_{i}']['kernel'].shape
+        sd[f'{torch_prefix}.mlps.0.{idx}.weight'] = _t(rng, (co, ci))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'{torch_prefix}.mlps.0.{idx + 1}.{bk}'] = bv
+        idx += 3
+
+
+def _fab_spconv_layer(sd, rng, torch_prefix, layer_node):
+    k, ci, co = layer_node['kernel'].shape
+    shape = (3, 3, 3, ci, co) if k == 27 else (k, 1, 1, ci, co)
+    sd[f'{torch_prefix}.0.weight'] = _t(rng, shape)
+    for bk, bv in _rand_bn(rng, co).items():
+        sd[f'{torch_prefix}.1.{bk}'] = bv
+
+
+@pytest.mark.slow
+def test_parta2_end_to_end_import(tmp_path):
+    """UNetV2 encoder+decoder, PointIntraPartOffsetHead, PartA2FCHead
+    (reference spconv_unet.py:65-131, partA2_head.py:19-51)."""
+    import jax
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pvrcnn_model import FakeDataset, make_batch
+    from test_parta2_pointrcnn import PARTA2_CFG
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+
+    model = build_detector(PARTA2_CFG, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, training=True)
+    params = jax.tree.map(np.asarray, variables['params'])
+    stats = jax.tree.map(np.asarray, variables['batch_stats'])
+
+    rng = np.random.RandomState(17)
+    sd = {}
+    b3d = params['backbone_3d']
+    # encoder (shared names with VoxelBackBone8x)
+    for i, sub in enumerate(tc._VOXEL8X_ORDER):
+        if f'SparseConvLayer_{i}' in b3d:
+            _fab_spconv_layer(sd, rng, f'backbone_3d.{sub}',
+                              b3d[f'SparseConvLayer_{i}'])
+    # decoder
+    for torch_sub, layer in tc._UNET_DECODER:
+        if layer in b3d:
+            _fab_spconv_layer(sd, rng, f'backbone_3d.{torch_sub}',
+                              b3d[layer])
+    for k in range(4):
+        blk = b3d.get(f'SparseBasicBlock_{k}')
+        if blk is None:
+            continue
+        t = f'backbone_3d.conv_up_t{4 - k}'
+        for j in (1, 2):
+            _, ci, co = blk[f'SparseConvLayer_{j - 1}']['kernel'].shape
+            sd[f'{t}.conv{j}.weight'] = _t(rng, (3, 3, 3, ci, co))
+            for bk, bv in _rand_bn(rng, co).items():
+                sd[f'{t}.bn{j}.{bk}'] = bv
+    _fab_backbone2d_and_head(params, sd, rng)
+    # point head: CLS_FC=[] / PART_FC=[] → single biased final conv each
+    ph = params['point_head']
+    for stack, dname in (('cls_layers', 'Dense_0'),
+                         ('part_reg_layers', 'Dense_1')):
+        ci, co = ph[dname]['kernel'].shape
+        sd[f'point_head.{stack}.0.weight'] = _t(rng, (co, ci))
+        sd[f'point_head.{stack}.0.bias'] = _t(rng, (co,))
+    # roi head: conv_part/conv_rpn sparse sequentials + fc towers
+    rh = params['roi_head']
+    for branch in ('conv_part', 'conv_rpn'):
+        idx = 0
+        for j in range(8):
+            node = rh.get(f'{branch}_{j}')
+            if node is None:
+                break
+            kz, ky, kx, ci, co = node['kernel'].shape
+            sd[f'roi_head.{branch}.{idx}.weight'] = _t(rng,
+                                                       (kz, ky, kx, ci, co))
+            for bk, bv in _rand_bn(rng, co).items():
+                sd[f'roi_head.{branch}.{idx + 1}.{bk}'] = bv
+            idx += 3
+    _fab_fc_stack(sd, rng, 'roi_head.shared_fc_layer', rh, 'shared_fc',
+                  None)
+    _fab_fc_stack(sd, rng, 'roi_head.cls_layers', rh, 'cls', 'cls_out')
+    _fab_fc_stack(sd, rng, 'roi_head.reg_layers', rh, 'reg', 'reg_out')
+
+    path = tmp_path / 'parta2_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 80}, str(path))
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert not report['mismatched'], report['mismatched']
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    out = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
+                      training=False)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+@pytest.mark.slow
+def test_pointrcnn_end_to_end_import(tmp_path):
+    """PointNet2MSG (SA + reversed FP), PointHeadBox, PointRCNNHead
+    (reference pointnet2_backbone.py:9-96, pointrcnn_head.py:13-59)."""
+    import jax
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pvrcnn_model import FakeDataset, make_batch
+    from test_parta2_pointrcnn import POINTRCNN_CFG
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+
+    model = build_detector(POINTRCNN_CFG, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, training=True)
+    params = jax.tree.map(np.asarray, variables['params'])
+    stats = jax.tree.map(np.asarray, variables['batch_stats'])
+
+    rng = np.random.RandomState(19)
+    sd = {}
+    b3d = params['backbone_3d']
+    for k in range(8):
+        if f'sa_{k}' not in b3d:
+            break
+        _fab_sa(sd, rng, f'backbone_3d.SA_modules.{k}', b3d[f'sa_{k}'])
+    # FP modules: our Dense_0/1 ↔ the LAST registered FP module (both
+    # forwards consume FP modules in reverse)
+    n_dense = sum(1 for k in b3d if k.startswith('Dense_'))
+    n_fp = 2  # FP_MLPS has 2 entries in the test config, 2 layers each
+    per_fp = n_dense // n_fp
+    di = 0
+    for i in reversed(range(n_fp)):
+        idx = 0
+        for _ in range(per_fp):
+            ci, co = b3d[f'Dense_{di}']['kernel'].shape
+            sd[f'backbone_3d.FP_modules.{i}.mlp.{idx}.weight'] = _t(
+                rng, (co, ci))
+            for bk, bv in _rand_bn(rng, co).items():
+                sd[f'backbone_3d.FP_modules.{i}.mlp.{idx + 1}.{bk}'] = bv
+            idx += 3
+            di += 1
+    # point head: cls_layers (CLS_FC=[16] + final) then box_layers
+    ph = params['point_head']
+    for stack, first, final, bn_i in (('cls_layers', 'Dense_0', 'Dense_1',
+                                       'BatchNorm_0'),
+                                      ('box_layers', 'Dense_2', 'Dense_3',
+                                       'BatchNorm_1')):
+        ci, co = ph[first]['kernel'].shape
+        sd[f'point_head.{stack}.0.weight'] = _t(rng, (co, ci))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'point_head.{stack}.1.{bk}'] = bv
+        ci, co = ph[final]['kernel'].shape
+        sd[f'point_head.{stack}.3.weight'] = _t(rng, (co, ci))
+        sd[f'point_head.{stack}.3.bias'] = _t(rng, (co,))
+    # roi head
+    rh = params['roi_head']
+    for torch_name, ours in (('xyz_up_layer', 'xyz_up'),
+                             ('merge_down_layer', 'merge_down')):
+        idx = 0
+        for j in range(8):
+            node = rh.get(f'{ours}_{j}')
+            if node is None:
+                break
+            ci, co = node['kernel'].shape
+            sd[f'roi_head.{torch_name}.{idx}.weight'] = _t(rng, (co, ci))
+            if 'bias' in node:  # USE_BN False → biased conv, no BN
+                sd[f'roi_head.{torch_name}.{idx}.bias'] = _t(rng, (co,))
+                idx += 2
+            else:
+                for bk, bv in _rand_bn(rng, co).items():
+                    sd[f'roi_head.{torch_name}.{idx + 1}.{bk}'] = bv
+                idx += 3
+    _fab_sa(sd, rng, 'roi_head.SA_modules.0', rh['sa_0'])
+    # group-all SA module (flat names sa1_d{li}/sa1_bn{li})
+    idx = 0
+    for li in range(8):
+        if f'sa1_d{li}' not in rh:
+            break
+        ci, co = rh[f'sa1_d{li}']['kernel'].shape
+        sd[f'roi_head.SA_modules.1.mlps.0.{idx}.weight'] = _t(rng, (co, ci))
+        for bk, bv in _rand_bn(rng, co).items():
+            sd[f'roi_head.SA_modules.1.mlps.0.{idx + 1}.{bk}'] = bv
+        idx += 3
+    _fab_fc_stack(sd, rng, 'roi_head.cls_layers', rh, 'cls', 'cls_out')
+    _fab_fc_stack(sd, rng, 'roi_head.reg_layers', rh, 'reg', 'reg_out')
+
+    path = tmp_path / 'pointrcnn_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 80}, str(path))
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert not report['mismatched'], report['mismatched']
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    out = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
+                      training=False)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+@pytest.mark.slow
+def test_voxelrcnn_end_to_end_import(tmp_path):
+    """VoxelRCNNHead: roi_grid_pool_layers mlps_in/mlps_pos/mlps_out +
+    fc towers + separate pred layers (reference voxelrcnn_head.py:18-79,
+    voxel_pool_modules.py:24-48)."""
+    import copy
+    import jax
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pvrcnn_model import FakeDataset, make_batch, PVRCNN_CFG
+    from crb_active_3ddet_tpu.config import CfgNode
+    from crb_active_3ddet_tpu.models.detectors import build_detector
+
+    cfg = CfgNode(copy.deepcopy(dict(PVRCNN_CFG)))
+    cfg.NAME = 'VoxelRCNN'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD = CfgNode({
+        'NAME': 'VoxelRCNNHead', 'CLASS_AGNOSTIC': True,
+        'SHARED_FC': [64, 64], 'CLS_FC': [64], 'REG_FC': [64],
+        'DP_RATIO': 0.3,
+        'ROI_GRID_POOL': {
+            'GRID_SIZE': 4, 'FEATURES_SOURCE': ['x_conv3', 'x_conv4'],
+            'POOL_LAYERS': {
+                'x_conv3': {'MLPS': [[16, 16]], 'QUERY_RANGES': [[2, 2, 2]],
+                            'POOL_RADIUS': [0.8], 'NSAMPLE': [8],
+                            'POOL_METHOD': 'max_pool'},
+                'x_conv4': {'MLPS': [[16, 16]], 'QUERY_RANGES': [[2, 2, 2]],
+                            'POOL_RADIUS': [1.6], 'NSAMPLE': [8],
+                            'POOL_METHOD': 'max_pool'}}},
+        'NMS_CONFIG': dict(PVRCNN_CFG.ROI_HEAD.NMS_CONFIG),
+        'TARGET_CONFIG': dict(PVRCNN_CFG.ROI_HEAD.TARGET_CONFIG),
+        'LOSS_CONFIG': dict(PVRCNN_CFG.ROI_HEAD.LOSS_CONFIG)})
+    model = build_detector(cfg, num_class=1, dataset=FakeDataset())
+    batch = make_batch()
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, training=True)
+    params = jax.tree.map(np.asarray, variables['params'])
+    stats = jax.tree.map(np.asarray, variables['batch_stats'])
+
+    rng = np.random.RandomState(23)
+    sd = {}
+    b3d = params['backbone_3d']
+    for i, sub in enumerate(tc._VOXEL8X_ORDER):
+        if f'SparseConvLayer_{i}' in b3d:
+            _fab_spconv_layer(sd, rng, f'backbone_3d.{sub}',
+                              b3d[f'SparseConvLayer_{i}'])
+    _fab_backbone2d_and_head(params, sd, rng)
+    rh = params['roi_head']
+    pool_names = sorted(k[:-3] for k in rh
+                        if k.startswith('pool_') and k.endswith('_in'))
+    srcs = []
+    for nm in pool_names:
+        src = nm[len('pool_'):].rsplit('_', 1)[0]
+        if src not in srcs:
+            srcs.append(src)
+    for li, src in enumerate(srcs):
+        for k, nm in enumerate(sorted(n for n in pool_names
+                                      if n.startswith(f'pool_{src}_'))):
+            for part in ('in', 'pos', 'out'):
+                ci, co = rh[f'{nm}_{part}']['kernel'].shape
+                t = f'roi_head.roi_grid_pool_layers.{li}.mlps_{part}.{k}'
+                sd[f'{t}.0.weight'] = _t(rng, (co, ci))
+                for bk, bv in _rand_bn(rng, co).items():
+                    sd[f'{t}.1.{bk}'] = bv
+    _fab_fc_stack(sd, rng, 'roi_head.shared_fc_layer', rh, 'shared_fc',
+                  None)
+    _fab_fc_stack(sd, rng, 'roi_head.cls_fc_layers', rh, 'cls_fc', None)
+    _fab_fc_stack(sd, rng, 'roi_head.reg_fc_layers', rh, 'reg_fc', None)
+    for torch_name, ours in (('cls_pred_layer', 'cls_pred'),
+                             ('reg_pred_layer', 'reg_pred')):
+        ci, co = rh[ours]['kernel'].shape
+        sd[f'roi_head.{torch_name}.weight'] = _t(rng, (co, ci))
+        sd[f'roi_head.{torch_name}.bias'] = _t(rng, (co,))
+
+    path = tmp_path / 'voxelrcnn_fab.pth'
+    torch.save({'model_state': sd, 'epoch': 80}, str(path))
+    new_p, new_s, report, meta = tc.import_openpcdet_checkpoint(
+        str(path), params, stats)
+    assert not report['mismatched'], report['mismatched']
+    assert not report['unmatched_target'], report['unmatched_target']
+
+    out = model.apply({'params': new_p, 'batch_stats': new_s}, batch,
+                      training=False)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+def test_spconv_dense_transform_matches_torch_conv3d():
+    """PartA2 conv_part/conv_rpn transform: dense lax conv with the mapped
+    kernel equals torch F.conv3d for both shipped disk layouts."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(29)
+    ci, co = 3, 5
+    x = rng.randn(2, 4, 4, 4, ci).astype(np.float32)
+    w_disk = rng.randn(3, 3, 3, ci, co).astype(np.float32)   # spconv 1.x
+    ref = torch.nn.functional.conv3d(
+        torch.tensor(x.transpose(0, 4, 1, 2, 3)),
+        torch.tensor(w_disk.transpose(4, 3, 0, 1, 2)),
+        padding=1).numpy().transpose(0, 2, 3, 4, 1)
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(tc._t_spconv_dense(w_disk, ci, co)),
+        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+    # 2.x native layout (co, k, k, k, ci) orients identically
+    w_native = w_disk.transpose(4, 0, 1, 2, 3)
+    np.testing.assert_array_equal(tc._t_spconv_dense(w_native, ci, co),
+                                  tc._t_spconv_dense(w_disk, ci, co))

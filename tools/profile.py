@@ -22,6 +22,8 @@ Dispatcher commands (modules live in tools/profiling/):
                                 KITTI shapes
     pvrcnn                      PV-RCNN module-level timings (VSA, roi head)
     stage1-host [pool] [batch]  CRB stage-1 host vs device wall-clock split
+    mesh-scaling [batch]        per-device FLOPs of the sharded CRB scorer
+                                at mesh sizes 1/2/4/8 (CPU mesh)
 
 Timing discipline on the tunneled axon chip: the dispatch floor is ~29 ms
 and dispatches do NOT overlap, so all microbenchmarks either repeat the op
@@ -48,6 +50,7 @@ COMMANDS = {
     'backbone': 'backbone',
     'pvrcnn': 'pvrcnn',
     'stage1-host': 'stage1_host',
+    'mesh-scaling': 'mesh_scaling',
 }
 
 
