@@ -76,7 +76,8 @@ def post_process_frame(cls_preds, box_preds, post_cfg, num_class,
             iou_thresh=float(nms_cfg.NMS_THRESH),
             pre_max=int(nms_cfg.NMS_PRE_MAXSIZE),
             post_max=int(nms_cfg.NMS_POST_MAXSIZE),
-            score_thresh=float(score_thresh) if score_thresh else None)
+            score_thresh=float(score_thresh) if score_thresh else None,
+            matrix_cap=int(nms_cfg.get('MATRIX_CAP', 2048)))
     else:
         # CenterPoint-style configs carry no model-level NMS: the dense head
         # already suppressed peaks and emitted final boxes (reference

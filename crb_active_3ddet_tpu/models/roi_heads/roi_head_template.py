@@ -43,7 +43,8 @@ def proposal_layer(batch_dict, nms_config, num_class_names: int):
         keep_idx, keep_valid, keep_scores = nms_ops.rotated_nms_matrix(
             boxes[:, :7], roi_scores,
             iou_thresh=float(nms_config.NMS_THRESH),
-            pre_max=int(nms_config.NMS_PRE_MAXSIZE), post_max=post)
+            pre_max=int(nms_config.NMS_PRE_MAXSIZE), post_max=post,
+            matrix_cap=int(nms_config.get('MATRIX_CAP', 2048)))
         return {
             'rois': jnp.where(keep_valid[:, None], boxes[keep_idx, :7], 0.0),
             'roi_scores': jnp.where(keep_valid, roi_scores[keep_idx], 0.0),

@@ -246,6 +246,7 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
         pre_max=int(nms_config.NMS_PRE_MAXSIZE),
         post_max=int(nms_config.NMS_POST_MAXSIZE),
         score_thresh=score_thresh,
+        matrix_cap=int(nms_config.get('MATRIX_CAP', 2048)),
     )
 
 
@@ -266,7 +267,8 @@ def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
         idx, valid, scores = rotated_nms_matrix(
             b[:, :7], s, float(nms_config.NMS_THRESH),
             int(nms_config.NMS_PRE_MAXSIZE), post,
-            score_thresh=score_thresh)
+            score_thresh=score_thresh,
+            matrix_cap=int(nms_config.get('MATRIX_CAP', 2048)))
         out['scores'].append(scores)
         out['boxes'].append(b[idx])
         out['valid'].append(valid)

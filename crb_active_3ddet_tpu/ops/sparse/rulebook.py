@@ -78,10 +78,14 @@ def build_dense_table(in_coords, in_valid, grid):
     nz, ny, nx = grid
     num_cells = nz * ny * nx
     h = hash_coords(in_coords, in_valid, grid)
-    pos = jnp.where(h == _INVALID, num_cells, h)
-    table = jnp.full((num_cells + 1,), -1, jnp.int32)
     v = in_coords.shape[0]
-    return table.at[pos].set(jnp.arange(v, dtype=jnp.int32), mode='drop')
+    # valid cells are distinct (voxelizer invariant); distinct OOB slots for
+    # invalid rows keep unique_indices honest → vectorized TPU scatter
+    pos = jnp.where(h == _INVALID,
+                    num_cells + 1 + jnp.arange(v, dtype=jnp.int32), h)
+    table = jnp.full((num_cells + 1,), -1, jnp.int32)
+    return table.at[pos].set(jnp.arange(v, dtype=jnp.int32), mode='drop',
+                             unique_indices=True)
 
 
 @partial(jax.jit, static_argnames=('grid', 'kernel_size', 'stride', 'padding'))
@@ -148,11 +152,15 @@ def build_dense_table_batch(coords, valid, grid):
             & (coords[..., 0] < nz) & (coords[..., 1] < ny)
             & (coords[..., 2] < nx))
     off = (jnp.arange(b, dtype=jnp.int32) * cellsp)[:, None]
-    pos = jnp.where(valid & in_b, h + off, b * cellsp)
+    # per-sample cells are distinct (voxelizer invariant); distinct OOB
+    # slots for invalid rows keep unique_indices honest (vectorized scatter)
+    oob = b * cellsp + 128 + jnp.arange(b * v, dtype=jnp.int32).reshape(b, v)
+    pos = jnp.where(valid & in_b, h + off, oob)
     vals = jnp.broadcast_to(
         jnp.arange(v, dtype=jnp.uint16)[None, :], (b, v))
     table = jnp.full((b * cellsp + 128,), 0xFFFF, jnp.uint16)
-    table = table.at[pos.reshape(-1)].set(vals.reshape(-1), mode='drop')
+    table = table.at[pos.reshape(-1)].set(vals.reshape(-1), mode='drop',
+                                          unique_indices=True)
     return table.reshape(-1, 128)
 
 
@@ -338,11 +346,16 @@ def subm_rulebook_halved(coords, valid, grid, kernel_size=(3, 3, 3),
     rulebook = rulebook.at[:, :c].set(j)
     center = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), -1)
     rulebook = rulebook.at[:, c].set(center)
-    # mirror scatter: rulebook[j, K-1-kk] = i for every found pair
+    # mirror scatter: rulebook[j, K-1-kk] = i for every found pair.  The
+    # (j, K-1-kk) destinations are unique for valid pairs (the neighbor
+    # relation is a partial bijection per offset); dropped pairs get
+    # distinct OOB rows so unique_indices holds (vectorized TPU scatter)
     i_idx = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None], (v, c))
     kk = jnp.broadcast_to(jnp.arange(c)[None, :], (v, c))
-    j_row = jnp.where(j >= 0, j, v)                        # v → dropped
-    rulebook = rulebook.at[j_row, k - 1 - kk].set(i_idx, mode='drop')
+    j_row = jnp.where(j >= 0, j,
+                      v + jnp.arange(v * c, dtype=jnp.int32).reshape(v, c))
+    rulebook = rulebook.at[j_row, k - 1 - kk].set(i_idx, mode='drop',
+                                                  unique_indices=True)
     return rulebook
 
 
@@ -489,10 +502,20 @@ def downsample_rulebook(in_coords, in_valid, grid, kernel_size, stride,
     slot = jnp.cumsum(first) - 1                                # group id
     n_out = first.sum()
 
-    # output coords from first occurrences
-    pos = jnp.where(first & (slot < max_out), slot, max_out)
-    out_h = jnp.full((max_out,), _INVALID, jnp.int32).at[pos].set(
-        h_sorted, mode='drop')
+    # output coords from first occurrences, compacted to the front with a
+    # second payload sort: a round-5 device trace showed XLA:TPU runs the
+    # equivalent scatter serially at ~4.6 ns/update over ALL n_e entries
+    # (12.5 ms/step across the three stages) even with unique indices,
+    # while a payload sort of the same rows costs ~2.4 ms
+    e_ar = jnp.arange(n_e, dtype=jnp.int32)
+    ckey = jnp.where(first & (slot < max_out), slot.astype(jnp.int32),
+                     jnp.int32(0x7FFFFFF0))
+    _, out_h = jax.lax.sort((ckey, h_sorted), num_keys=1)
+    if out_h.shape[0] < max_out:
+        out_h = jnp.concatenate([out_h, jnp.full(
+            (max_out - out_h.shape[0],), _INVALID, out_h.dtype)])
+    out_h = jnp.where(jnp.arange(max_out) < jnp.minimum(n_out, max_out),
+                      out_h[:max_out], _INVALID)
     out_valid = jnp.arange(max_out) < jnp.minimum(n_out, max_out)
     oz = out_h // (noy * nox)
     rem = out_h % (noy * nox)
@@ -500,11 +523,13 @@ def downsample_rulebook(in_coords, in_valid, grid, kernel_size, stride,
     out_coords = jnp.where(out_valid[:, None], out_coords, -1)
 
     # rulebook from every sorted entry (k_e/i_e decoded from the payload —
-    # zero post-sort gathers)
+    # zero post-sort gathers).  (slot, k_e) pairs are unique for valid
+    # entries (one input per (output, offset)); invalid entries get
+    # distinct OOB rows for the same unique_indices reason as above
     valid_e = (h_sorted != _INVALID) & (slot < max_out)
     rulebook = jnp.full((max_out, kt), -1, jnp.int32)
-    rulebook = rulebook.at[jnp.where(valid_e, slot, max_out), k_e].set(
-        i_e, mode='drop')
+    rulebook = rulebook.at[jnp.where(valid_e, slot, max_out + e_ar),
+                           k_e].set(i_e, mode='drop', unique_indices=True)
     return out_coords, out_valid, rulebook
 
 
@@ -555,9 +580,15 @@ def downsample_coords(in_coords, in_valid, grid, kernel_size, stride, padding,
     first &= h_sorted != _INVALID
     slot = jnp.cumsum(first) - 1
     n_out = first.sum()
-    pos = jnp.where(first & (slot < max_out), slot, max_out)
-    out_h = jnp.full((max_out,), _INVALID, jnp.int32).at[pos].set(
-        h_sorted, mode='drop')
+    # sort-compaction instead of a serial scatter (see downsample_rulebook)
+    ckey = jnp.where(first & (slot < max_out), slot.astype(jnp.int32),
+                     jnp.int32(0x7FFFFFF0))
+    _, out_h = jax.lax.sort((ckey, h_sorted), num_keys=1)
+    if out_h.shape[0] < max_out:
+        out_h = jnp.concatenate([out_h, jnp.full(
+            (max_out - out_h.shape[0],), _INVALID, out_h.dtype)])
+    out_h = jnp.where(jnp.arange(max_out) < jnp.minimum(n_out, max_out),
+                      out_h[:max_out], _INVALID)
     out_valid = jnp.arange(max_out) < jnp.minimum(n_out, max_out)
     oz = out_h // (noy * nox)
     rem = out_h % (noy * nox)
@@ -583,6 +614,10 @@ def inverse_rulebook(fwd_rulebook, v_fine: int):
     o_idx = jnp.broadcast_to(jnp.arange(vc, dtype=jnp.int32)[:, None],
                              (vc, k))
     k_idx = jnp.broadcast_to(jnp.arange(k)[None, :], (vc, k))
-    rows = jnp.where(fwd_rulebook >= 0, fwd_rulebook, v_fine)
+    # (i, k) destinations are unique for valid entries (see docstring);
+    # distinct OOB rows for dropped ones keep unique_indices honest
+    rows = jnp.where(fwd_rulebook >= 0, fwd_rulebook,
+                     v_fine + jnp.arange(vc * k,
+                                         dtype=jnp.int32).reshape(vc, k))
     inv = jnp.full((v_fine, k), -1, jnp.int32)
-    return inv.at[rows, k_idx].set(o_idx, mode='drop')
+    return inv.at[rows, k_idx].set(o_idx, mode='drop', unique_indices=True)

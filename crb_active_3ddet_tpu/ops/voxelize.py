@@ -87,34 +87,60 @@ def voxelize(points, points_valid, point_cloud_range, voxel_size,
     rank = jnp.arange(n) - seg_start
     point_ok = voxel_ok & (rank < max_points_per_voxel)
 
-    # scatter points into the fixed voxel buffer
-    flat_pos = jnp.where(point_ok, slot * max_points_per_voxel + rank,
-                         max_voxels * max_points_per_voxel)
-    voxels = jnp.zeros((max_voxels * max_points_per_voxel, c), points.dtype)
-    voxels = voxels.at[flat_pos].set(points[order], mode='drop')
-    voxels = voxels.reshape(max_voxels, max_points_per_voxel, c)
+    # Compact the per-voxel metadata (first-entry position, voxel id, group
+    # length) to the front with ONE payload sort instead of scattering: a
+    # round-5 device trace showed XLA:TPU runs these scatters serially at
+    # ~4-7 ns/update regardless of unique_indices (the voxel-buffer +
+    # coords + counts scatters cost ~8 ms/step at the bench shape), while a
+    # payload sort of the same rows costs ~1 ms and the buffer then falls
+    # out of a row GATHER (~1.5 ns/row).
+    n_valid = valid_s.sum()
+    # smallest first-position strictly after p (reverse cummin)
+    fpos = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
+    nxt = jax.lax.associative_scan(jnp.minimum, fpos, reverse=True)
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    grp_len = jnp.minimum(nxt, n_valid).astype(jnp.int32) \
+        - jnp.arange(n, dtype=jnp.int32)                 # valid at firsts
+    ckey = jnp.where(first & (slot < max_voxels), slot.astype(jnp.int32),
+                     jnp.int32(0x7FFFFFF0))
+    _, seg_pos, vid_c, cnt_c = jax.lax.sort(
+        (ckey, jnp.arange(n, dtype=jnp.int32), vid_s, grp_len), num_keys=1)
+    if n < max_voxels:                                   # tiny-scene pad
+        pad = max_voxels - n
+        seg_pos = jnp.concatenate([seg_pos, jnp.zeros((pad,), jnp.int32)])
+        vid_c = jnp.concatenate([vid_c, jnp.zeros((pad,), vid_c.dtype)])
+        cnt_c = jnp.concatenate([cnt_c, jnp.zeros((pad,), jnp.int32)])
+    seg_pos = seg_pos[:max_voxels]
+    vid_c = vid_c[:max_voxels]
+    cnt_c = cnt_c[:max_voxels]
 
-    # per-voxel point counts (capped) and coords from the first point
-    ones = jnp.where(point_ok, 1, 0)
-    voxel_num_points = jnp.zeros((max_voxels,), jnp.int32).at[
-        jnp.where(point_ok, slot, max_voxels)].add(ones, mode='drop')
+    voxel_valid = jnp.arange(max_voxels) < jnp.minimum(num_voxels_total,
+                                                       max_voxels)
+    voxel_num_points = jnp.where(
+        voxel_valid, jnp.minimum(cnt_c, max_points_per_voxel), 0)
 
-    # voxel coords decoded arithmetically from the sorted voxel id (no
-    # coords[order] gather); invalid rows land in the drop slot anyway
-    vz = vid_s // (ny * nx)
-    vrem = vid_s % (ny * nx)
-    czyx = jnp.stack([vz, vrem // nx, vrem % nx], axis=1)
-    coord_pos = jnp.where(first & (slot < max_voxels), slot, max_voxels)
-    voxel_coords = jnp.full((max_voxels, 3), -1, jnp.int32).at[coord_pos].set(
-        czyx, mode='drop')
+    # voxel buffer by gather from the slot-major sorted points
+    points_sorted = points[order]
+    src = seg_pos[:, None] + jnp.arange(max_points_per_voxel,
+                                        dtype=jnp.int32)[None, :]
+    within = (jnp.arange(max_points_per_voxel)[None, :]
+              < voxel_num_points[:, None])
+    voxels = jnp.where(within[..., None],
+                       points_sorted[jnp.clip(src, 0, n - 1)], 0.0)
 
-    voxel_valid = jnp.arange(max_voxels) < jnp.minimum(num_voxels_total, max_voxels)
+    # voxel coords decoded arithmetically from the compacted voxel id
+    vz = vid_c // (ny * nx)
+    vrem = vid_c % (ny * nx)
+    voxel_coords = jnp.where(
+        voxel_valid[:, None],
+        jnp.stack([vz, vrem // nx, vrem % nx], axis=1).astype(jnp.int32), -1)
 
     # per-ORIGINAL-point voxel slot, uncapped by max_points_per_voxel —
     # the dynamic VFEs (scatter over ALL in-range points, reference
     # dynamic_mean_vfe.py:52-66) segment-reduce over this
     point_slot = jnp.full((n,), max_voxels, jnp.int32).at[order].set(
-        jnp.where(voxel_ok, slot, max_voxels).astype(jnp.int32))
+        jnp.where(voxel_ok, slot, max_voxels).astype(jnp.int32),
+        unique_indices=True)   # order is a permutation
 
     return {
         'voxels': voxels,

@@ -88,8 +88,12 @@ class CRBSampling(Strategy):
                        for fid, r in records.items()}
 
         start = time.time()
-        chunk = getattr(getattr(self.unlabelled_loader, 'batch_sampler', None),
-                        'batch_size', None) \
+        # stage-2 per-sample grads hold chunk x a full PV-RCNN backward in
+        # HBM — allow capping below the pool-scan batch (ACTIVE_TRAIN.
+        # GRAD_CHUNK; a batch-16 backward OOMs a 16G v5e)
+        chunk = int(self.cfg.ACTIVE_TRAIN.get('GRAD_CHUNK', 0)) \
+            or getattr(getattr(self.unlabelled_loader, 'batch_sampler', None),
+                       'batch_size', None) \
             or getattr(self.unlabelled_loader, 'batch_size', None) or 4
         if chunk not in self._grad_fns:   # re-tracing PV-RCNN costs ~30 s
             self._grad_fns[chunk] = self._build_grad_fn(chunk)

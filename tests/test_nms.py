@@ -197,3 +197,39 @@ def test_post_processing_multi_class_dispatch():
     for k in range(c):
         blk = lbl_grid[:, k][vd.reshape(b, c, 8)[:, k]]
         assert (blk == k + 1).all()
+
+
+def test_matrix_cap_exact_when_alive_below_cap():
+    """MATRIX_CAP semantics (the perf knob class_agnostic_nms now plumbs):
+    when fewer than matrix_cap boxes survive the score threshold — the
+    trained-model eval regime — a capped matrix is EXACTLY the unbounded
+    greedy NMS, deviation bound per rotated_nms_matrix's docstring."""
+    import numpy as np
+    import jax.numpy as jnp
+    from crb_active_3ddet_tpu.ops import nms as nms_ops
+    rng = np.random.RandomState(7)
+    n = 600
+    centers = rng.uniform(0, 50, (15, 2))
+    pick = rng.randint(0, 15, n)
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :2] = centers[pick] + rng.normal(0, 1.0, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1.5, 4.0, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    # trained-model score profile: few confident boxes, a sea of junk
+    scores = (rng.rand(n) * 0.08).astype(np.float32)
+    hot = rng.choice(n, 60, replace=False)
+    scores[hot] = 0.3 + 0.7 * rng.rand(60).astype(np.float32)
+
+    for thresh in (0.01, 0.5):
+        gi, gv, gs = nms_ops.rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh,
+            pre_max=512, post_max=64, score_thresh=0.1)
+        mi, mv, ms = nms_ops.rotated_nms_matrix(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh,
+            pre_max=512, post_max=64, score_thresh=0.1, rounds=64,
+            matrix_cap=128)
+        gvn, mvn = np.asarray(gv), np.asarray(mv)
+        assert np.array_equal(gvn, mvn), thresh
+        assert np.array_equal(np.asarray(gi)[gvn], np.asarray(mi)[mvn]), \
+            thresh

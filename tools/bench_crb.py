@@ -31,7 +31,13 @@ def main():
     ap.add_argument('--pool', type=int, default=3584)
     ap.add_argument('--select', type=int, default=100)
     ap.add_argument('--batch', type=int, default=16,
-                    help='pool-scan batch size (also the stage-2 grad chunk)')
+                    help='pool-scan batch size')
+    ap.add_argument('--grad-chunk', type=int, default=8,
+                    help='stage-2 per-sample-grad chunk (a batch-16 '
+                         'PV-RCNN backward OOMs a 16G v5e)')
+    ap.add_argument('--pretrain-batch', type=int, default=4,
+                    help='pretrain train-step batch (kept small: the '
+                         'batch-16 TRAIN step OOMs, the eval scan does not)')
     ap.add_argument('--model', default='pv_rcnn',
                     choices=['pv_rcnn', 'second'])
     ap.add_argument('--pretrain-steps', type=int, default=12)
@@ -60,6 +66,7 @@ def main():
         'TRAIN_RESUME': False, 'SELECT_NUMS': args.select,
         'SELECT_LABEL_EPOCH_INTERVAL': 1,
         'TOTAL_BUDGET_NUMS': args.select,
+        'GRAD_CHUNK': args.grad_chunk,
         'ACTIVE_CONFIG': {'K1': 5, 'K2': 3, 'BANDWDITH': 5,
                           'CLUSTERING': 'kmeans++'}})
     batch_size = args.batch
@@ -67,21 +74,27 @@ def main():
         build_active_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, workers=0,
             training=True, pre_train_sample_nums=8, seed=666)
+    # separate small-batch loader for the pretrain TRAIN steps (see
+    # --pretrain-batch)
+    (_, _, pre_loader, _, _, _) = build_active_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, args.pretrain_batch, workers=0,
+        training=True, pre_train_sample_nums=8, seed=666)
     model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                            dataset=lab_set)
     optimizer, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1)
-    state = train_rt.init_train_state(model, optimizer, lab_set, batch_size)
+    state = train_rt.init_train_state(model, optimizer, lab_set,
+                                      args.pretrain_batch)
 
     # brief pretrain (see module docstring)
     train_step = train_rt.make_train_step(model, optimizer, lab_set)
     rng = jax.random.PRNGKey(0)
-    it = iter(lab_loader)
+    it = iter(pre_loader)
     t0 = time.time()
     for _ in range(args.pretrain_steps):
         try:
             b = next(it)
         except StopIteration:
-            it = iter(lab_loader)
+            it = iter(pre_loader)
             b = next(it)
         rng, sub = jax.random.split(rng)
         state, _m = train_step(state, train_rt.host_to_device_batch(b), sub)
