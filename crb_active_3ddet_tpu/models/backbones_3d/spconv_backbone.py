@@ -107,12 +107,38 @@ class SparseConvLayer(nn.Module):
         # than a 4D take_along_axis on TPU
         cdt = jnp.dtype(self.compute_dtype)
         vo = rulebook.shape[1]
-        feats_flat = jnp.concatenate(
-            [feats.astype(cdt).reshape(b * v, cin),
-             jnp.zeros((1, cin), cdt)], axis=0)
         off = (jnp.arange(b, dtype=jnp.int32) * v)[:, None, None]
-        idx = jnp.where(rulebook >= 0, rulebook + off, b * v)
-        g = feats_flat[idx.reshape(-1)]                    # (B·Vo·K, C)
+        if self.subm and k == 27 and rulebook.shape[-1] == 9:
+            # windowed path (rb.subm_rulebook_window): the tap-row gathers
+            # are ISSUE-bound (~1.5 ns/row regardless of width), so gather
+            # 9 rows of a 3C-wide windowed array instead of 27 rows of C,
+            # then select each tap's chunk with the packed mask bits
+            f = feats.astype(cdt)
+            zrow = jnp.zeros((b, 1, cin), cdt)
+            win = jnp.concatenate([
+                jnp.concatenate([zrow, f[:, :-1]], 1),   # chunk0: row r−1
+                f,                                       # chunk1: row r
+                jnp.concatenate([f[:, 1:], zrow], 1),    # chunk2: row r+1
+            ], axis=-1)
+            win_flat = jnp.concatenate(
+                [win.reshape(b * v, 3 * cin),
+                 jnp.zeros((1, 3 * cin), cdt)], axis=0)
+            wrow = rulebook >> 5                          # −1 stays −1
+            idx = jnp.where(rulebook >= 0, wrow + off, b * v)
+            gw = win_flat[idx.reshape(-1)].reshape(b, vo, 9, 3, cin)
+            bits = ((rulebook[..., None] >> jnp.arange(5)) & 1).astype(cdt)
+            c0, c1, c2 = gw[..., 0, :], gw[..., 1, :], gw[..., 2, :]
+            g = jnp.stack([
+                c0 * bits[..., 0:1] + c1 * bits[..., 1:2],   # dx = −1
+                c1 * bits[..., 2:3],                         # dx =  0
+                c2 * bits[..., 3:4] + c1 * bits[..., 4:5],   # dx = +1
+            ], axis=-2)                                    # (B, Vo, 9, 3, C)
+        else:
+            feats_flat = jnp.concatenate(
+                [feats.astype(cdt).reshape(b * v, cin),
+                 jnp.zeros((1, cin), cdt)], axis=0)
+            idx = jnp.where(rulebook >= 0, rulebook + off, b * v)
+            g = feats_flat[idx.reshape(-1)]                # (B·Vo·K, C)
         out = jnp.dot(g.reshape(b * vo, k * cin),
                       w.astype(cdt).reshape(k * cin, self.out_channels),
                       preferred_element_type=jnp.float32).reshape(
@@ -227,12 +253,13 @@ class VoxelBackBone8x(nn.Module):
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
         def subm_rbk(st):
-            # sort-join rulebook: no dense table, no row gathers — two
-            # payload sorts + scans; relies on the voxelizer's/downsample's
-            # cell-sorted coord order (4x faster than the dense-table
-            # build+query at the bench workload; see rulebook.py)
-            return rb.subm_rulebook_sortjoin(st['coords'], st['valid'],
-                                             st['grid'])
+            # windowed sort-join rulebook: no dense table, 9 packed window
+            # entries per voxel instead of 27 tap rows — the conv gathers
+            # 3× fewer rows (issue-bound) and the back-sort carries one
+            # payload; relies on the voxelizer's/downsample's cell-sorted
+            # coord order (see rulebook.py)
+            return rb.subm_rulebook_window(st['coords'], st['valid'],
+                                           st['grid'])
 
         def down(st, ch, stride, padding, max_out):
             # sort-based fused downsample: one ~V·C-element device sort
@@ -382,9 +409,9 @@ class UNetV2(nn.Module):
         caps = [max(16, int(cap * f) if f <= 1.0 else int(f)) for f in fracs]
 
         def subm_rbk(s, table=None):
-            # sort-join path (see VoxelBackBone8x note / rulebook.py)
-            return rb.subm_rulebook_sortjoin(s['coords'], s['valid'],
-                                             s['grid'])
+            # windowed sort-join path (see VoxelBackBone8x note / rulebook.py)
+            return rb.subm_rulebook_window(s['coords'], s['valid'],
+                                           s['grid'])
 
         def down(s, ch, stride, padding, max_out, table=None):
             """Strided conv capturing (fine set, fwd rulebook) for the

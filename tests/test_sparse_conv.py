@@ -317,3 +317,78 @@ def test_subm_rulebook_sortjoin_dense_cluster():
     # the center voxel sees all 27 neighbors
     center = np.where((coords[0] == 2).all(-1))[0][0]
     assert (got[center] >= 0).all()
+
+
+def test_subm_rulebook_window_matches_batch():
+    """Windowed packed rulebook, unpacked to tap columns, == dense-table
+    rulebook on the same cell-sorted cases as the sort-join test."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    rng = np.random.RandomState(7)
+    grid = (9, 16, 14)
+    b, v = 3, 64
+    coords = np.full((b, v, 3), -1, np.int32)
+    n_valid = [64, 50, 1]
+    for i in range(b):
+        cells = np.sort(rng.choice(9 * 16 * 14, size=n_valid[i],
+                                   replace=False))
+        coords[i, :n_valid[i]] = np.stack(
+            [cells // (16 * 14), (cells % (16 * 14)) // 14, cells % 14], -1)
+    valid = np.arange(v)[None, :] < np.asarray(n_valid)[:, None]
+    packed = rb.subm_rulebook_window(jnp.asarray(coords), jnp.asarray(valid),
+                                     grid)
+    got = np.asarray(rb.unpack_window_rulebook(packed))
+    ref = np.asarray(rb.subm_rulebook_batch(
+        jnp.asarray(coords), jnp.asarray(valid), grid))
+    assert np.array_equal(got, ref)
+
+
+def test_subm_rulebook_window_dense_cluster():
+    """Windowed rulebook on a fully dense 3x3x3 cluster (stresses every
+    chunk-select code path incl. chunk0/chunk2 adjacency)."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    grid = (6, 6, 6)
+    zz, yy, xx = np.meshgrid(np.arange(1, 4), np.arange(1, 4),
+                             np.arange(1, 4), indexing='ij')
+    coords = np.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1)
+    cells = (coords[:, 0] * 6 + coords[:, 1]) * 6 + coords[:, 2]
+    coords = coords[np.argsort(cells)].astype(np.int32)[None]
+    valid = np.ones((1, 27), bool)
+    packed = rb.subm_rulebook_window(jnp.asarray(coords), jnp.asarray(valid),
+                                     grid)
+    got = np.asarray(rb.unpack_window_rulebook(packed))[0]
+    ref = np.asarray(rb.subm_rulebook_batch(
+        jnp.asarray(coords), jnp.asarray(valid), grid))[0]
+    assert np.array_equal(got, ref)
+
+
+def test_sparse_conv_window_path_matches_column_path():
+    """SparseConvLayer output with the 9-wide packed windowed rulebook ==
+    output with the 27-column rulebook (same params, same coords/feats)."""
+    from crb_active_3ddet_tpu.ops.sparse import rulebook as rb
+    from crb_active_3ddet_tpu.models.backbones_3d.spconv_backbone import (
+        SparseConvLayer)
+    rng = np.random.RandomState(3)
+    grid = (8, 12, 10)
+    b, v, cin = 2, 48, 5
+    coords = np.full((b, v, 3), -1, np.int32)
+    n_valid = [48, 30]
+    for i in range(b):
+        cells = np.sort(rng.choice(8 * 12 * 10, size=n_valid[i],
+                                   replace=False))
+        coords[i, :n_valid[i]] = np.stack(
+            [cells // (12 * 10), (cells % (12 * 10)) // 10, cells % 10], -1)
+    valid = np.arange(v)[None, :] < np.asarray(n_valid)[:, None]
+    feats = rng.randn(b, v, cin).astype(np.float32) * valid[..., None]
+    st = {'features': jnp.asarray(feats), 'coords': jnp.asarray(coords),
+          'valid': jnp.asarray(valid), 'grid': grid}
+    layer = SparseConvLayer(out_channels=7, grid=grid, subm=True)
+    rbk_cols = rb.subm_rulebook_sortjoin(st['coords'], st['valid'], grid)
+    rbk_win = rb.subm_rulebook_window(st['coords'], st['valid'], grid)
+    params = layer.init(jax.random.PRNGKey(0), st, True, rulebook=rbk_cols)
+    out_cols, _ = layer.apply(params, st, True, rulebook=rbk_cols,
+                              mutable=['batch_stats'])
+    out_win, _ = layer.apply(params, st, True, rulebook=rbk_win,
+                             mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(out_cols['features']),
+                               np.asarray(out_win['features']),
+                               rtol=1e-5, atol=1e-5)
